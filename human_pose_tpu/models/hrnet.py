@@ -1,0 +1,343 @@
+"""HRNet backbone (TPU-native, flax.linen, NHWC).
+
+Re-implements the topology of the reference backbone
+(/root/reference/src/keypoints/architectures/hrnet.py:29-385) as idiomatic JAX:
+
+* residual units: ``Bottleneck`` (expansion 4) / ``BasicBlock`` (expansion 1)
+* ``HighResolutionBlock``: N residual units per scale branch
+* ``FusionLayer`` after every HR block: strided 3x3 convs (high->low), identity
+  (same scale), 1x1 conv + nearest 2^k upsample (low->high), summed + ReLU;
+  the final stage's last fusion can emit a single high-res scale
+* ``TransitionLayer`` between stages: 3x3 conv (stage1->2 only) or identity per
+  existing branch, plus a stride-2 3x3 conv creating the new lowest branch
+* stem: two stride-2 3x3 convs 3->64->64
+
+Stage table (reference hrnet.py:347-353), C=32:
+  [1 block,  4 units, Bottleneck, in [64],            new-branch out [C, 2C]]
+  [1 block,  4 units, BasicBlock, in [C, 2C],         out [C, 2C, 4C]]
+  [4 blocks, 4 units, BasicBlock, in [C, 2C, 4C],     out [C, 2C, 4C, 8C]]
+  [3 blocks, 4 units, BasicBlock, in [C, 2C, 4C, 8C], out [C, 2C, 4C, 8C]]
+
+All tensors are NHWC (TPU-preferred); compute dtype is configurable (bfloat16
+for training on the MXU), parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# BatchNorm settings matching torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class ConvBN(nn.Module):
+    """3x3/1x1 conv (no bias) + BatchNorm [+ optional ReLU]."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = False
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual unit, expansion 4 (reference hrnet.py:29-74)."""
+
+    features: int  # output channels
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        mid = self.features // self.expansion
+        residual = x
+        out = ConvBN(mid, kernel=1, relu=True, dtype=self.dtype, name="cb1")(x, train)
+        out = ConvBN(mid, kernel=3, stride=self.stride, relu=True, dtype=self.dtype, name="cb2")(
+            out, train
+        )
+        out = ConvBN(self.features, kernel=1, relu=False, dtype=self.dtype, name="cb3")(out, train)
+        if x.shape[-1] != self.features:
+            residual = ConvBN(
+                self.features, kernel=1, stride=self.stride, relu=False, dtype=self.dtype,
+                name="downsample",
+            )(x, train)
+        return nn.relu(out + residual)
+
+
+class BasicBlock(nn.Module):
+    """two 3x3 convs residual unit, expansion 1 (reference hrnet.py:77-124)."""
+
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=True, dtype=self.dtype, name="cb1")(
+            x, train
+        )
+        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=False, dtype=self.dtype, name="cb2")(
+            out, train
+        )
+        if x.shape[-1] != self.features:
+            residual = ConvBN(
+                self.features, kernel=1, stride=self.stride, relu=False, dtype=self.dtype,
+                name="downsample",
+            )(x, train)
+        return nn.relu(out + residual)
+
+
+_BLOCK_TYPES = {"bottleneck": Bottleneck, "basic": BasicBlock}
+
+
+class HighResolutionBlock(nn.Module):
+    """Per-scale stack of residual units (reference hrnet.py:127-163)."""
+
+    num_units: int
+    block_type: str  # "bottleneck" | "basic"
+    out_channels: Sequence[int]  # per-scale output channels (in * expansion)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: list, train: bool) -> list:
+        Block = _BLOCK_TYPES[self.block_type]
+        outs = []
+        for i, x in enumerate(xs):
+            for j in range(self.num_units):
+                x = Block(self.out_channels[i], dtype=self.dtype, name=f"scale{i}_unit{j}")(
+                    x, train
+                )
+            outs.append(x)
+        return outs
+
+
+def _upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbor 2^k upsample, NHWC. Implemented as a reshape-broadcast
+    (compiles to a cheap XLA broadcast, no gather)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+class FusionLayer(nn.Module):
+    """All-to-all scale fusion (reference hrnet.py:166-229).
+
+    For output scale i from input scale j:
+      i > j: chain of (i-j) stride-2 3x3 conv+BN, ReLU between (not after last);
+             channels stay ch[j] until the last conv which maps to ch[i]
+      i == j: identity
+      i < j:  1x1 conv ch[j]->ch[i] + BN + nearest upsample 2^(j-i)
+    Outputs are summed and ReLU'd.
+    """
+
+    channels: Sequence[int]  # per input scale
+    num_scales_out: int = -1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: list, train: bool) -> list:
+        num_in = len(self.channels)
+        num_out = self.num_scales_out if self.num_scales_out != -1 else num_in
+        outs = []
+        for i in range(num_out):
+            acc = None
+            for j in range(num_in):
+                x = xs[j]
+                if i > j:
+                    for k in range(i - j):
+                        is_last = k == (i - j) - 1
+                        feats = self.channels[i] if is_last else self.channels[j]
+                        x = ConvBN(
+                            feats, kernel=3, stride=2, relu=not is_last, dtype=self.dtype,
+                            name=f"out{i}_in{j}_down{k}",
+                        )(x, train)
+                elif i < j:
+                    x = ConvBN(
+                        self.channels[i], kernel=1, relu=False, dtype=self.dtype,
+                        name=f"out{i}_in{j}_up",
+                    )(x, train)
+                    x = _upsample_nearest(x, 2 ** (j - i))
+                acc = x if acc is None else acc + x
+            outs.append(nn.relu(acc))
+        return outs
+
+
+class TransitionLayer(nn.Module):
+    """Stage transition (reference hrnet.py:232-284): per existing branch a
+    3x3 conv+BN+ReLU (stage1->2 only) or identity; plus one stride-2 3x3
+    conv+BN+ReLU on the lowest scale creating the new branch."""
+
+    out_channels: Sequence[int]  # len == num existing branches + 1
+    is_first_stage: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: list, train: bool) -> list:
+        outs = []
+        for i, x in enumerate(xs):
+            if self.is_first_stage:
+                x = ConvBN(
+                    self.out_channels[i], kernel=3, relu=True, dtype=self.dtype,
+                    name=f"branch{i}",
+                )(x, train)
+            outs.append(x)
+        new = ConvBN(
+            self.out_channels[-1], kernel=3, stride=2, relu=True, dtype=self.dtype,
+            name="new_branch",
+        )(xs[-1], train)
+        outs.append(new)
+        return outs
+
+
+class HighResolutionStage(nn.Module):
+    """num_blocks x (HR block + fusion) + optional transition
+    (reference hrnet.py:287-339)."""
+
+    num_blocks: int
+    num_units: int
+    block_type: str
+    in_channels: Sequence[int]
+    out_channels: Sequence[int]  # includes the new branch's channels (last)
+    is_final_stage: bool
+    is_first_stage: bool
+    final_stage_single_scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool):
+        if not isinstance(xs, list):
+            xs = [xs]
+        Block = _BLOCK_TYPES[self.block_type]
+        expansion = Block.expansion
+        num_scales = len(self.in_channels)
+        block_out_channels = [c * expansion for c in self.in_channels]
+        fusion_channels = list(self.out_channels[:num_scales])
+
+        # within a stage the per-branch channels are constant across blocks:
+        # bottleneck stage-1 runs at 256 ch (its single-scale "fusion" is
+        # identity+ReLU, reference hrnet.py:313-318); basic stages keep
+        # [C, 2C, ...] per branch.
+        fuse_ch = block_out_channels if self.block_type == "bottleneck" else fusion_channels
+        for b in range(self.num_blocks):
+            is_final_block = b == self.num_blocks - 1
+            xs = HighResolutionBlock(
+                self.num_units, self.block_type, block_out_channels, dtype=self.dtype,
+                name=f"block{b}",
+            )(xs, train)
+            if self.is_final_stage and is_final_block and self.final_stage_single_scale:
+                num_scales_out = 1
+            else:
+                num_scales_out = num_scales
+            xs = FusionLayer(fuse_ch, num_scales_out, dtype=self.dtype, name=f"fusion{b}")(
+                xs, train
+            )
+
+        if self.is_final_stage:
+            return xs
+        return TransitionLayer(
+            self.out_channels, self.is_first_stage, dtype=self.dtype, name="transition"
+        )(xs, train)
+
+
+class HRNetBackbone(nn.Module):
+    """4-stage HRNet backbone (reference hrnet.py:342-385).
+
+    Returns a list of per-scale NHWC feature maps at 1/4, 1/8, 1/16, 1/32 of
+    the input resolution with C, 2C, 4C, 8C channels — or a single 1/4-scale
+    C-channel map when ``final_stage_single_scale`` is set (pose heads).
+    """
+
+    C: int = 32
+    final_stage_single_scale: bool = False
+    # blocks per stage / residual units per block; defaults are HRNet-W*
+    # (reference hrnet.py:347-353). Smaller values give shallow variants
+    # (useful for tests and ablations); the scale topology is unchanged.
+    num_blocks_per_stage: Sequence[int] = (1, 1, 4, 3)
+    num_units: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> list:
+        C = self.C
+        C2, C4, C8 = 2 * C, 4 * C, 8 * C
+        # stem: two stride-2 3x3 convs 3->64->64 (reference hrnet.py:354-358)
+        x = ConvBN(64, kernel=3, stride=2, relu=True, dtype=self.dtype, name="stem1")(x, train)
+        x = ConvBN(64, kernel=3, stride=2, relu=True, dtype=self.dtype, name="stem2")(x, train)
+
+        nb = self.num_blocks_per_stage
+        nu = self.num_units
+        config = [
+            # num_blocks, num_units, block_type, in_channels, out_channels
+            (nb[0], nu, "bottleneck", [64], [C, C2]),
+            (nb[1], nu, "basic", [C, C2], [C, C2, C4]),
+            (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
+            (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
+        ]
+        xs = x
+        for s, (nb, nu, bt, in_ch, out_ch) in enumerate(config):
+            xs = HighResolutionStage(
+                nb, nu, bt, in_ch, out_ch,
+                is_final_stage=s == len(config) - 1,
+                is_first_stage=s == 0,
+                final_stage_single_scale=self.final_stage_single_scale,
+                dtype=self.dtype,
+                name=f"stage{s + 1}",
+            )(xs, train)
+        return xs
+
+
+class HRNetSPPE(nn.Module):
+    """Single-person HRNet head: backbone single-scale + 1x1 conv + softmax
+    heatmaps (reference hrnet.py:388-400)."""
+
+    num_keypoints: int = 17
+    C: int = 32
+    num_blocks_per_stage: tuple = (1, 1, 4, 3)
+    num_units: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> list:
+        feats = HRNetBackbone(
+            self.C, final_stage_single_scale=True,
+            num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
+            dtype=self.dtype, name="backbone",
+        )(images, train)[0]
+        hms = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="final_conv")(feats)
+        hms = jnp.asarray(hms, jnp.float32)
+        # reference applies softmax over the keypoint (channel) dim (hrnet.py:399)
+        hms = nn.softmax(hms, axis=-1)
+        return [hms]

@@ -1,0 +1,13 @@
+from .files import load_yaml, save_yaml, load_json, save_json
+from .utils import seed_everything, elapsed_timer, get_rank, is_main_process
+
+__all__ = [
+    "load_yaml",
+    "save_yaml",
+    "load_json",
+    "save_json",
+    "seed_everything",
+    "elapsed_timer",
+    "get_rank",
+    "is_main_process",
+]
