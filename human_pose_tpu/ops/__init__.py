@@ -1,0 +1,25 @@
+from .hungarian import hungarian, hungarian_batch
+from .grouping import nms, top_k, match_by_tag, adjust, refine, parse, JOINTS_ORDER
+from .flip import COCO_FLIP_INDEX, flip_back, merge_flip_heatmaps, stack_flip_tags
+from .heatmaps import resize_bilinear, match_heatmaps_size, average_stages
+from .decode import decode_batch
+
+__all__ = [
+    "hungarian",
+    "hungarian_batch",
+    "nms",
+    "top_k",
+    "match_by_tag",
+    "adjust",
+    "refine",
+    "parse",
+    "JOINTS_ORDER",
+    "COCO_FLIP_INDEX",
+    "flip_back",
+    "merge_flip_heatmaps",
+    "stack_flip_tags",
+    "resize_bilinear",
+    "match_heatmaps_size",
+    "average_stages",
+    "decode_batch",
+]

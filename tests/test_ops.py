@@ -1,0 +1,81 @@
+"""Flip merge, bilinear resize parity vs torch, and batched decode."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from human_pose_tpu.ops import (
+    COCO_FLIP_INDEX,
+    average_stages,
+    decode_batch,
+    flip_back,
+    merge_flip_heatmaps,
+    resize_bilinear,
+    stack_flip_tags,
+)
+
+
+def test_resize_bilinear_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 16, 24, 5).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), 33, 48))
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(33, 48),
+            mode="bilinear", align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_flip_back_involution():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 8, 17).astype(np.float32))
+    xf = flip_back(x)
+    # flip_back is its own inverse (flip index is an involution)
+    np.testing.assert_allclose(np.asarray(flip_back(xf)), np.asarray(x), atol=0)
+
+
+def test_merge_flip_heatmaps_identity_on_symmetric():
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 8, 8, 17).astype(np.float32)
+    # construct a flipped version the way the model would see it
+    idx = np.asarray(COCO_FLIP_INDEX)
+    x_flipped_pred = x[:, :, ::-1, :][..., idx]
+    merged = np.asarray(merge_flip_heatmaps(jnp.asarray(x), jnp.asarray(x_flipped_pred)))
+    np.testing.assert_allclose(merged, x, atol=1e-6)
+
+
+def test_stack_flip_tags_shape():
+    x = jnp.zeros((2, 8, 8, 17))
+    out = stack_flip_tags(x, x)
+    assert out.shape == (2, 8, 8, 17, 2)
+
+
+def test_average_stages_sizes():
+    a = jnp.ones((1, 8, 8, 3))
+    b = jnp.ones((1, 16, 16, 3)) * 3
+    avg = average_stages([a, b])
+    assert avg.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(avg), 2.0)
+
+
+def test_decode_batch_shapes():
+    rng = np.random.RandomState(3)
+    n, k = 2, 17
+    hm14 = jnp.asarray(rng.rand(n, 16, 16, k).astype(np.float32))
+    hm12 = jnp.asarray(rng.rand(n, 32, 32, k).astype(np.float32))
+    tags = jnp.asarray(rng.rand(n, 16, 16, k).astype(np.float32))
+    joints, scores, valid = decode_batch(
+        [hm14, hm12], [tags], input_hw=(64, 64), max_num_people=10
+    )
+    assert joints.shape == (n, 10, k, 3 + 1)
+    assert scores.shape == (n, 10)
+    assert valid.shape == (n, 10)
+    # with flip TTA (two tag maps) the embedding dim becomes 2
+    joints2, _, _ = decode_batch(
+        [hm14, hm12], [tags, tags], input_hw=(64, 64), max_num_people=10
+    )
+    assert joints2.shape == (n, 10, k, 3 + 2)
