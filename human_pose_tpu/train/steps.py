@@ -1,0 +1,123 @@
+"""Pure jitted train / validation steps.
+
+Counterparts of the reference per-task modules:
+* classification (src/classification/module.py:15-54): CE loss + top-1/top-5
+  error metrics, plain fp32 (the flax model's dtype policy decides bf16).
+* keypoints (src/keypoints/module.py:43-111): masked heatmap MSE per stage +
+  AE push/pull at the 1/4 stage. The reference's fp16 autocast + GradScaler
+  becomes a bf16 compute policy — no scaler needed on TPU (SURVEY.md §7).
+
+Each step takes the learning rate as a traced scalar (host-side schedulers,
+see train/optim.py) and returns (new_state, metrics). Metrics are global-batch
+means: under a data mesh XLA inserts the cross-chip reductions automatically,
+which subsumes the reference's AverageMeter.all_reduce (src/base/meters.py:28-39).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .losses import ae_keypoints_loss, classification_loss
+from .optim import set_learning_rate
+from .state import TrainState
+
+
+def _apply_train(state: TrainState, images):
+    out, mutated = state.apply_fn(
+        state.variables(), images, train=True, mutable=["batch_stats"]
+    )
+    return out, mutated["batch_stats"]
+
+
+def _update(state: TrainState, grads, lr):
+    opt_state = set_learning_rate(state.opt_state, lr)
+    updates, opt_state = state.tx.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return params, opt_state
+
+
+def topk_error(logits, labels, k):
+    topk = jax.lax.top_k(logits, k)[1]  # [N, k]
+    correct = (topk == labels[:, None]).any(axis=1)
+    return 1.0 - correct.mean()
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def classification_train_step(state: TrainState, images, labels, lr):
+    def loss_fn(params):
+        out, new_stats = _apply_train(state.replace(params=params), images)
+        loss = classification_loss(out, labels)
+        return loss, (out, new_stats)
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    params, opt_state = _update(state, grads, lr)
+    metrics = {
+        "loss": loss,
+        "top-1_error": topk_error(logits, labels, 1),
+        "top-5_error": topk_error(logits, labels, 5),
+    }
+    new_state = state.replace(
+        step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
+    )
+    return new_state, metrics
+
+
+@jax.jit
+def classification_val_step(state: TrainState, images, labels):
+    logits = state.apply_fn(state.variables(), images, train=False)
+    return {
+        "loss": classification_loss(logits, labels),
+        "top-1_error": topk_error(logits, labels, 1),
+        "top-5_error": topk_error(logits, labels, 5),
+    }, logits
+
+
+# ---------------------------------------------------------------------------
+# keypoints (HigherHRNet + AE loss)
+# ---------------------------------------------------------------------------
+
+
+def _keypoints_losses(out, batch):
+    stages_hms, tags = out
+    total, metrics = ae_keypoints_loss(
+        stages_hms, tags, batch["heatmaps"], batch["masks"], batch["joints"]
+    )
+    return total, metrics
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def keypoints_train_step(state: TrainState, batch: dict, lr):
+    """batch: images [N,H,W,3], heatmaps list([N,h,w,K] per stage),
+    masks list([N,h,w]), joints [N,P,K,3] int32 (1/4-res coords)."""
+
+    def loss_fn(params):
+        out, new_stats = _apply_train(state.replace(params=params), batch["images"])
+        total, metrics = _keypoints_losses(out, batch)
+        return total, (metrics, new_stats)
+
+    (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    params, opt_state = _update(state, grads, lr)
+    new_state = state.replace(
+        step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
+    )
+    return new_state, metrics
+
+
+@jax.jit
+def keypoints_val_step(state: TrainState, batch: dict):
+    out = state.apply_fn(state.variables(), batch["images"], train=False)
+    _, metrics = _keypoints_losses(out, batch)
+    return metrics, out

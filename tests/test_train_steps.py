@@ -1,0 +1,144 @@
+"""Train-step behavior: losses decrease, metrics computed, and the
+data-parallel path over the virtual 8-device mesh matches single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_pose_tpu.models import ClassificationHRNet, HigherHRNet
+from human_pose_tpu.parallel import make_mesh, replicate, shard_batch
+from human_pose_tpu.train import (
+    TrainState,
+    classification_train_step,
+    classification_val_step,
+    create_lr_scheduler,
+    create_optimizer,
+    keypoints_train_step,
+    keypoints_val_step,
+)
+
+TINY = dict(num_blocks_per_stage=(1, 1, 1, 1), num_units=1)
+
+
+def make_cls_state(rng, num_classes=13):
+    model = ClassificationHRNet(C=8, num_classes=num_classes, **TINY)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(rng, x, train=False)
+    tx = create_optimizer("SGD", lr=0.05, momentum=0.9)
+    return TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+
+
+def test_classification_step_decreases_loss():
+    rng = jax.random.PRNGKey(0)
+    state = make_cls_state(rng)
+    images = jax.random.normal(rng, (8, 32, 32, 3))
+    labels = jnp.arange(8) % 13
+    losses = []
+    for i in range(5):
+        state, metrics = classification_train_step(state, images, labels, 0.05)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+    val_metrics, logits = classification_val_step(state, images, labels)
+    assert logits.shape == (8, 13)
+    assert 0.0 <= float(val_metrics["top-5_error"]) <= 1.0
+
+
+def make_kpts_batch(rng_np, n=4, size=64, k=17, p=5):
+    return {
+        "images": jnp.asarray(rng_np.rand(n, size, size, 3).astype(np.float32)),
+        "heatmaps": [
+            jnp.asarray(rng_np.rand(n, size // 4, size // 4, k).astype(np.float32)),
+            jnp.asarray(rng_np.rand(n, size // 2, size // 2, k).astype(np.float32)),
+        ],
+        "masks": [
+            jnp.ones((n, size // 4, size // 4), jnp.float32),
+            jnp.ones((n, size // 2, size // 2), jnp.float32),
+        ],
+        "joints": jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            rng_np.randint(0, size // 4, (p, k)),
+                            rng_np.randint(0, size // 4, (p, k)),
+                            (rng_np.rand(p, k) > 0.5).astype(np.int64),
+                        ],
+                        axis=-1,
+                    )
+                    for _ in range(n)
+                ]
+            ).astype(np.int32)
+        ),
+    }
+
+
+def test_keypoints_step_decreases_loss():
+    rng = jax.random.PRNGKey(1)
+    model = HigherHRNet(num_kpts=17, C=8, num_deconv_resid_blocks=1, **TINY)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(rng, x, train=False)
+    tx = create_optimizer("Adam", lr=1e-3)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    batch = make_kpts_batch(np.random.RandomState(0))
+    losses = []
+    for _ in range(4):
+        state, metrics = keypoints_train_step(state, batch, 1e-3)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    for key in ("hm_0", "hm_1", "push", "pull"):
+        assert key in metrics
+    val_metrics, out = keypoints_val_step(state, batch)
+    assert out[0][0].shape == (4, 16, 16, 17)
+
+
+def test_data_parallel_matches_single_device():
+    """Same batch, sharded over the 8-device mesh vs single device: metrics
+    (global means) must agree; params stay replicated and identical."""
+    assert jax.device_count() >= 8
+    rng = jax.random.PRNGKey(2)
+    state = make_cls_state(rng)
+    images = jax.random.normal(rng, (16, 32, 32, 3))
+    labels = jnp.arange(16) % 13
+
+    # single device
+    s1, m1 = classification_train_step(state, images, labels, 0.05)
+
+    # 8-device data parallel
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, make_cls_state(rng))
+    im8 = shard_batch(mesh, images)
+    lb8 = shard_batch(mesh, labels)
+    s8, m8 = classification_train_step(state8, im8, lb8, 0.05)
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    # fp32 reduction order differs between the sharded (psum-of-partials) and
+    # single-device execution; agreement is to ~1e-4 after one SGD step
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_lr_schedulers():
+    s = create_lr_scheduler(0.1, "MultiStepLR", milestones=[2, 4], gamma=0.1)
+    lrs = [s.lr]
+    for _ in range(5):
+        lrs.append(s.step())
+    assert np.allclose(lrs, [0.1, 0.1, 0.01, 0.01, 0.001, 0.001])
+
+    c = create_lr_scheduler(1.0, "CosineAnnealingLR", T_max=10)
+    assert abs(c.get_lr(0) - 1.0) < 1e-9
+    assert abs(c.get_lr(10) - 0.0) < 1e-9
+    assert abs(c.get_lr(5) - 0.5) < 1e-9
+
+    r = create_lr_scheduler(1.0, "ReduceLROnPlateau", patience=1, factor=0.5)
+    r.step(1.0)
+    r.step(1.0)  # bad 1
+    r.step(1.0)  # bad 2 -> reduce
+    assert abs(r.lr - 0.5) < 1e-9
