@@ -7,6 +7,25 @@ from .losses import (
     TAG_LOSS_WEIGHT,
 )
 from .optim import create_optimizer, create_lr_scheduler, set_learning_rate, LRScheduler
+from .meters import AverageMeter, Meters
+from .storage import MetricsStorage, SystemMonitoringStorage
+from .checkpoint import save_checkpoint, load_checkpoint, load_train_state, load_params_partial
+from .module import BaseModule, ClassificationModule, KeypointsModule, metrics_to_host
+from .trainer import Trainer, DataModule
+from .callbacks import (
+    BaseCallback,
+    Callbacks,
+    SaveModelCheckpoint,
+    MetricsPlotterCallback,
+    MetricsSaverCallback,
+    MetricsLogger,
+    ModelSummary,
+    SystemMetricsMonitoringCallback,
+    ArtifactsLoggerCallback,
+    DatasetExamplesCallback,
+    ResultsPlotterCallback,
+    default_callbacks,
+)
 from .steps import (
     classification_train_step,
     classification_val_step,
@@ -15,6 +34,32 @@ from .steps import (
 )
 
 __all__ = [
+    "AverageMeter",
+    "Meters",
+    "MetricsStorage",
+    "SystemMonitoringStorage",
+    "save_checkpoint",
+    "load_checkpoint",
+    "load_train_state",
+    "load_params_partial",
+    "BaseModule",
+    "ClassificationModule",
+    "KeypointsModule",
+    "metrics_to_host",
+    "Trainer",
+    "DataModule",
+    "BaseCallback",
+    "Callbacks",
+    "SaveModelCheckpoint",
+    "MetricsPlotterCallback",
+    "MetricsSaverCallback",
+    "MetricsLogger",
+    "ModelSummary",
+    "SystemMetricsMonitoringCallback",
+    "ArtifactsLoggerCallback",
+    "DatasetExamplesCallback",
+    "ResultsPlotterCallback",
+    "default_callbacks",
     "TrainState",
     "classification_loss",
     "heatmaps_loss",

@@ -1,0 +1,111 @@
+"""Full-state checkpoint save / load.
+
+Counterpart of reference §3.5 (SURVEY.md): one file carrying
+{module: {params, batch_stats, opt_state, step}, datamodule: host RNG states,
+metrics, callbacks, logger run ids, epoch, step}. Device arrays are packed
+with flax.serialization msgpack; host-side state rides along in the same dict.
+
+``load_train_state`` restores arrays into an existing TrainState template
+(shape/dtype structure must match), mirroring the reference's map_location
+semantics — arrays land on the default device / sharding of the template.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..loggers.pylogger import log
+from .state import TrainState
+
+
+def _state_to_tree(state: TrainState) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(
+    path: str | Path,
+    state: TrainState,
+    epoch: int,
+    datamodule_state: dict | None = None,
+    metrics_state: dict | None = None,
+    callbacks_state: dict | None = None,
+    logger_state: dict | None = None,
+) -> None:
+    """Serialize everything to one file (host-side pickle wrapping a msgpack
+    blob for the device arrays)."""
+    tree = jax.device_get(_state_to_tree(state))
+    payload = {
+        "module": serialization.to_bytes(tree),
+        "datamodule": datamodule_state,
+        "metrics": metrics_state,
+        "callbacks": callbacks_state,
+        "logger": logger_state,
+        "epoch": int(epoch),
+        "step": int(np.asarray(tree["step"])),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    tmp.replace(path)
+    log.info(f"saved checkpoint to {path} (epoch {epoch})")
+
+
+def load_checkpoint(path: str | Path) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_train_state(state: TrainState, ckpt: dict) -> TrainState:
+    """Restore arrays from a checkpoint payload into a template TrainState."""
+    template = jax.device_get(_state_to_tree(state))
+    tree = serialization.from_bytes(template, ckpt["module"])
+    return state.replace(
+        step=jax.numpy.asarray(tree["step"]),
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+    )
+
+
+def load_params_partial(params: Any, ckpt_path: str | Path) -> Any:
+    """Name-intersection partial load for pretrained backbones
+    (reference src/base/model.py:104-129): leaves present in both trees with
+    matching shapes are taken from the checkpoint, the rest keep their fresh
+    initialization. The checkpoint may be a trainer-state file (params are
+    unwrapped from ckpt['module']) or a bare params file."""
+    ckpt = load_checkpoint(ckpt_path)
+    if "module" in ckpt:
+        template = jax.device_get({"params": params})
+        try:
+            loaded = serialization.from_bytes(template, ckpt["module"])
+            return loaded["params"]
+        except Exception:
+            # structure mismatch: fall back to flat-dict intersection
+            from flax.traverse_util import flatten_dict, unflatten_dict
+
+            raw = serialization.msgpack_restore(ckpt["module"])
+            src = flatten_dict(raw.get("params", raw))
+            dst = flatten_dict(jax.device_get(params))
+            n_loaded = 0
+            for key, val in src.items():
+                if key in dst and np.shape(dst[key]) == np.shape(val):
+                    dst[key] = np.asarray(val)
+                    n_loaded += 1
+            log.info(
+                f"partial load: {n_loaded}/{len(dst)} tensors matched from {ckpt_path}"
+            )
+            return unflatten_dict(dst)
+    raise ValueError(f"unrecognized checkpoint format at {ckpt_path}")

@@ -1,0 +1,184 @@
+"""Task modules: bind a flax model + TrainState + jitted steps + schedulers.
+
+Counterpart of reference src/base/module.py (BaseModule owning model, loss,
+optimizers, schedulers, scalers) and the task modules
+(src/classification/module.py, src/keypoints/module.py). The torch pieces
+collapse: loss lives inside the jitted step, there is no GradScaler (bf16),
+and optimizer state is part of the TrainState pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..models import init_classification_weights, init_keypoints_weights
+from ..parallel import shard_batch
+from .optim import LRScheduler, create_lr_scheduler, create_optimizer
+from .state import TrainState
+from .steps import (
+    classification_train_step,
+    classification_val_step,
+    keypoints_train_step,
+    keypoints_val_step,
+)
+
+
+class BaseModule:
+    name: str = "base"
+
+    def __init__(
+        self,
+        model,
+        state: TrainState,
+        schedulers: dict[str, LRScheduler],
+        mesh=None,
+    ):
+        self.model = model
+        self.state = state
+        self.schedulers = schedulers
+        self.mesh = mesh
+        self.total_batches: dict[str, int] = {}
+
+    # -- factory -------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        model,
+        input_shape: tuple,
+        optimizers_cfg: dict,
+        lr_schedulers_cfg: dict,
+        seed: int = 42,
+        init_weights: Callable | None = None,
+        mesh=None,
+    ) -> "BaseModule":
+        """Build state from config dicts shaped like the reference yaml
+        (module.optimizers./module.lr_schedulers., single 'optim' entry)."""
+        import jax.numpy as jnp
+
+        rng = jax.random.PRNGKey(seed)
+        dtype = getattr(model, "dtype", jnp.float32)
+        variables = model.init(
+            rng, jnp.zeros((1, *input_shape), dtype), train=False
+        )
+        params = variables["params"]
+        if init_weights is not None:
+            params = init_weights(params, rng)
+        opt_cfg = optimizers_cfg["optim"]
+        lr = float(opt_cfg.get("params", {}).get("lr", 1e-3))
+        other = {k: v for k, v in opt_cfg.get("params", {}).items() if k != "lr"}
+        # torch betas tuple arrives as a list from yaml
+        if "betas" in other:
+            other["betas"] = tuple(other["betas"])
+        tx = create_optimizer(opt_cfg["name"], lr=lr, **other)
+        state = TrainState.create(
+            model.apply, params, variables.get("batch_stats"), tx
+        )
+        schedulers = {}
+        for key, sch in (lr_schedulers_cfg or {}).items():
+            schedulers[key] = create_lr_scheduler(
+                lr, sch["name"], sch.get("interval", "epoch"), **(sch.get("params") or {})
+            )
+        if not schedulers:
+            schedulers["optim"] = create_lr_scheduler(lr, "ConstantLR")
+        return cls(model, state, schedulers, mesh=mesh)
+
+    # -- lr ------------------------------------------------------------------
+    @property
+    def lr(self) -> float:
+        return next(iter(self.schedulers.values())).lr
+
+    def on_step_end(self) -> None:
+        for s in self.schedulers.values():
+            if s.interval == "step":
+                s.step()
+
+    def on_epoch_end(self, val_metrics: dict | None = None) -> None:
+        for s in self.schedulers.values():
+            if s.interval == "epoch":
+                metric = None
+                if val_metrics is not None:
+                    metric = val_metrics.get("loss")
+                s.step(metric)
+
+    # -- device placement ----------------------------------------------------
+    def batch_to_device(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+
+    # -- steps (overridden) ----------------------------------------------------
+    def training_step(self, batch: dict) -> dict:
+        raise NotImplementedError
+
+    def validation_step(self, batch: dict):
+        raise NotImplementedError
+
+    # -- checkpoint ------------------------------------------------------------
+    def schedulers_state_dict(self) -> dict:
+        return {k: s.state_dict() for k, s in self.schedulers.items()}
+
+    def load_schedulers_state_dict(self, state: dict) -> None:
+        for k, st in state.items():
+            if k in self.schedulers:
+                self.schedulers[k].load_state_dict(st)
+
+
+class ClassificationModule(BaseModule):
+    name = "classification"
+
+    @classmethod
+    def create(cls, model, input_shape=(224, 224, 3), optimizers_cfg=None,
+               lr_schedulers_cfg=None, seed=42, mesh=None, **kw):
+        return super().create(
+            model, input_shape,
+            optimizers_cfg or {"optim": {"name": "SGD", "params": {"lr": 0.1}}},
+            lr_schedulers_cfg or {},
+            seed=seed, init_weights=init_classification_weights, mesh=mesh,
+        )
+
+    def training_step(self, batch: dict) -> dict:
+        batch = self.batch_to_device(batch)
+        self.state, metrics = classification_train_step(
+            self.state, batch["images"], batch["labels"], self.lr
+        )
+        self.on_step_end()
+        return metrics
+
+    def validation_step(self, batch: dict):
+        batch = self.batch_to_device(batch)
+        metrics, logits = classification_val_step(
+            self.state, batch["images"], batch["labels"]
+        )
+        return metrics, logits
+
+
+class KeypointsModule(BaseModule):
+    name = "keypoints"
+
+    @classmethod
+    def create(cls, model, input_shape=(512, 512, 3), optimizers_cfg=None,
+               lr_schedulers_cfg=None, seed=42, mesh=None, **kw):
+        return super().create(
+            model, input_shape,
+            optimizers_cfg or {"optim": {"name": "Adam", "params": {"lr": 1e-3}}},
+            lr_schedulers_cfg or {},
+            seed=seed, init_weights=init_keypoints_weights, mesh=mesh,
+        )
+
+    def training_step(self, batch: dict) -> dict:
+        batch = self.batch_to_device(batch)
+        self.state, metrics = keypoints_train_step(self.state, batch, self.lr)
+        self.on_step_end()
+        return metrics
+
+    def validation_step(self, batch: dict):
+        batch = self.batch_to_device(batch)
+        metrics, outputs = keypoints_val_step(self.state, batch)
+        return metrics, outputs
+
+
+def metrics_to_host(metrics: dict) -> dict:
+    return {k: float(np.asarray(v)) for k, v in metrics.items()}

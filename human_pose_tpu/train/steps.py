@@ -41,7 +41,7 @@ def _update(state: TrainState, grads, lr):
 
 
 def topk_error(logits, labels, k):
-    topk = jax.lax.top_k(logits, k)[1]  # [N, k]
+    topk = jax.lax.top_k(logits, min(k, logits.shape[-1]))[1]  # [N, k]
     correct = (topk == labels[:, None]).any(axis=1)
     return 1.0 - correct.mean()
 
