@@ -1,0 +1,229 @@
+"""Config dataclasses + factory methods (the DI container).
+
+Counterpart of reference src/base/config.py: yaml -> dict -> recursive
+``--a.b.c=v`` CLI overrides -> nested dataclasses -> factories constructing
+every runtime object (net / datamodule / module / callbacks / logger /
+trainer / inference model). Debug-mode rename (limit_batches > 0 ->
+experiment "debug"), run-dir layout ``results/<exp>/<run>/<timestamp>``, and
+rank-0 logger init are preserved.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from ..loggers.loggers import FileTrackerLogger, Loggers, TerminalLogger
+from ..loggers.pylogger import add_file_handler, log, set_device_tag
+from ..utils.files import load_yaml
+from ..utils.utils import get_rank, is_main_process, seed_everything
+from .cli import update_config
+from .structured import structure, unstructure
+
+NOW = time.strftime("%Y-%m-%d_%H-%M-%S")
+RESULTS_PATH = Path("results")
+
+
+@dataclass
+class TransformConfig:
+    mean: list = field(default_factory=lambda: [0.485, 0.456, 0.406])
+    std: list = field(default_factory=lambda: [0.229, 0.224, 0.225])
+    out_size: Any = 224
+
+
+@dataclass
+class DatasetConfig:
+    root: str = "data"
+    split: str = "train"
+    out_size: int = 512
+    hm_resolutions: list = field(default_factory=lambda: [0.25, 0.5])
+    num_kpts: int = 17
+    max_num_people: int = 30
+    sigma: float = 2.0
+    mosaic_probability: float = 0.0
+
+
+@dataclass
+class DataloaderConfig:
+    batch_size: int = 32
+    pin_memory: bool = True
+    num_workers: int = 4
+    train_ds: DatasetConfig = field(default_factory=DatasetConfig)
+    val_ds: DatasetConfig = field(default_factory=DatasetConfig)
+
+
+@dataclass
+class NetConfig:
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class TrainerConfig:
+    accelerator: str = "tpu"
+    max_epochs: int = 100
+    limit_batches: int = -1
+    use_DDP: bool = True  # data-parallel over the device mesh
+    sync_batchnorm: bool = False
+    use_compile: bool = False  # everything is jit-compiled; kept for config compat
+
+
+@dataclass
+class SetupConfig:
+    seed: int = 42
+    experiment_name: str = "exp"
+    architecture: str = ""
+    dataset: str = ""
+    run_name: str | None = None
+    is_train: bool = True
+    ckpt_path: str | None = None
+    pretrained_ckpt_path: str | None = None
+    deterministic: bool = False
+
+
+@dataclass
+class CUDNNConfig:
+    """Accepted for config compat with the reference yamls; XLA has no cudnn
+    flags (determinism comes from jax config when setup.deterministic)."""
+
+    benchmark: bool = True
+    deterministic: bool = False
+    enabled: bool = True
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "Adam"
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class LRSchedulerConfig:
+    name: str = "ConstantLR"
+    interval: str = "epoch"
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class ModuleConfig:
+    optimizers: dict = field(default_factory=dict)
+    lr_schedulers: dict = field(default_factory=dict)
+
+
+@dataclass
+class InferenceConfig:
+    input_size: int = 512
+    ckpt_path: str | None = None
+    det_thr: float = 0.05
+    tag_thr: float = 0.5
+    use_flip: bool = False
+
+
+@dataclass
+class BaseConfig:
+    setup: SetupConfig = field(default_factory=SetupConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    cudnn: CUDNNConfig = field(default_factory=CUDNNConfig)
+    dataloader: DataloaderConfig = field(default_factory=DataloaderConfig)
+    transform: TransformConfig = field(default_factory=TransformConfig)
+    module: ModuleConfig = field(default_factory=ModuleConfig)
+    net: NetConfig = field(default_factory=NetConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+
+    # -- construction ----------------------------------------------------------
+    @classmethod
+    def from_yaml_to_dict(cls, path: str, argv: list[str] | None = None) -> dict:
+        cfg = load_yaml(path)
+        allowed = {f for f in cfg.keys()} | {
+            "setup", "trainer", "cudnn", "dataloader", "transform", "module",
+            "net", "inference",
+        }
+        return update_config(cfg, argv if argv is not None else sys.argv[1:], allowed)
+
+    @classmethod
+    def from_dict(cls, cfg_dict: dict) -> "BaseConfig":
+        cfg = structure(cfg_dict, cls)
+        cfg.__post_init_config__()
+        return cfg
+
+    def __post_init_config__(self) -> None:
+        # debug mode: limited batches reroute results (reference config.py:180-185)
+        self.is_debug = self.trainer.limit_batches > 0
+        if self.is_debug:
+            self.setup.experiment_name = "debug"
+        if self.setup.run_name is None:
+            if self.setup.ckpt_path:
+                self.setup.run_name = Path(self.setup.ckpt_path).parts[-4] \
+                    if len(Path(self.setup.ckpt_path).parts) >= 4 else NOW
+            else:
+                self.setup.run_name = NOW
+        self.log_path = (
+            RESULTS_PATH / self.setup.experiment_name / self.setup.run_name / NOW
+        )
+        if self.setup.deterministic:
+            import jax
+
+            jax.config.update("jax_default_matmul_precision", "highest")
+
+    def to_dict(self) -> dict:
+        return unstructure(self)
+
+    # -- runtime helpers --------------------------------------------------------
+    def initialize_logging(self) -> None:
+        rank = get_rank()
+        set_device_tag(log, f"TPU:{rank}")
+        if is_main_process():
+            self.log_path.mkdir(parents=True, exist_ok=True)
+        add_file_handler(log, self.log_path / "logs" / f"device_{rank}.log", f"TPU:{rank}")
+
+    def seed(self) -> None:
+        # per-rank seed like the reference (src/base/bin/train.py:44-49)
+        seed_everything(self.setup.seed + get_rank())
+
+    def make_mesh(self):
+        if not self.trainer.use_DDP:
+            return None
+        from ..parallel import make_mesh
+
+        return make_mesh()
+
+    # -- factories (overridden per task) ------------------------------------------
+    def create_net(self):
+        raise NotImplementedError
+
+    def create_datamodule(self):
+        raise NotImplementedError
+
+    def create_module(self, mesh=None):
+        raise NotImplementedError
+
+    def create_inference_model(self):
+        raise NotImplementedError
+
+    def create_callbacks(self) -> list:
+        from ..train.callbacks import default_callbacks
+
+        return default_callbacks()
+
+    def create_logger(self) -> Loggers:
+        return Loggers(
+            [TerminalLogger(self.log_path), FileTrackerLogger(
+                self.log_path, self.setup.experiment_name, str(self.setup.run_name)
+            )],
+            self.log_path,
+        )
+
+    def create_trainer(self, logger: Loggers | None = None):
+        from ..train.trainer import Trainer
+
+        logger = logger if logger is not None else self.create_logger()
+        logger.log_config(self.to_dict())
+        return Trainer(
+            logger=logger,
+            callbacks=self.create_callbacks(),
+            max_epochs=self.trainer.max_epochs,
+            limit_batches=self.trainer.limit_batches,
+            log_path=self.log_path,
+        )

@@ -1,0 +1,25 @@
+from .models import (
+    InferenceClassificationModel,
+    InferenceKeypointsModel,
+    load_variables_from_ckpt,
+)
+from .results import ClassificationResult, InferenceKeypointsResult, KeypointsResult
+from .visualization import (
+    plot_connections,
+    plot_grouped_ae_tags,
+    plot_heatmaps,
+    plot_top_probs,
+)
+
+__all__ = [
+    "InferenceClassificationModel",
+    "InferenceKeypointsModel",
+    "load_variables_from_ckpt",
+    "ClassificationResult",
+    "InferenceKeypointsResult",
+    "KeypointsResult",
+    "plot_connections",
+    "plot_grouped_ae_tags",
+    "plot_heatmaps",
+    "plot_top_probs",
+]

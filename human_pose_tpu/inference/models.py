@@ -1,0 +1,151 @@
+"""Inference models: host preprocess + device forward/decode wrappers.
+
+Counterparts of reference src/keypoints/model.py:43-111
+(InferenceKeypointsModel: 64-aligned resize, flip TTA, parse, inverse affine)
+and the classification inference model. All device work — forward, optional
+flip forward, heatmap aggregation, AE decode — is one jitted function per
+input shape (jax caches compiles per 64-aligned bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.affine import resize_align_multi_scale
+from ..data.coco import COCO_LIMBS
+from ..data.transforms import (
+    ClassificationTransform,
+    inverse_normalize,
+    normalize,
+)
+from ..ops.decode import decode_batch
+from ..ops.flip import COCO_FLIP_INDEX, flip_back, merge_flip_heatmaps
+from ..ops.heatmaps import average_stages, resize_bilinear
+from ..train.checkpoint import load_checkpoint, load_train_state
+from .results import ClassificationResult, InferenceKeypointsResult
+
+
+def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
+    """Build variables and restore from a trainer checkpoint
+    (reference BaseInferenceModel, src/base/model.py:152-181)."""
+    from ..train.optim import create_optimizer
+    from ..train.state import TrainState
+
+    rng = jax.random.PRNGKey(0)
+    dtype = getattr(model, "dtype", jnp.float32)
+    variables = model.init(rng, jnp.zeros((1, *input_shape), dtype), train=False)
+    state = TrainState.create(
+        model.apply, variables["params"], variables.get("batch_stats"),
+        create_optimizer("SGD", lr=0.0),
+    )
+    ckpt = load_checkpoint(ckpt_path)
+    # optimizer state in the checkpoint may belong to a different optimizer;
+    # restore params/batch_stats only
+    from flax import serialization
+
+    template = jax.device_get(
+        {"step": state.step, "params": state.params,
+         "batch_stats": state.batch_stats, "opt_state": None}
+    )
+    try:
+        tree = serialization.from_bytes(template, ckpt["module"])
+    except Exception:
+        full = load_train_state(state, ckpt)
+        return {"params": full.params, "batch_stats": full.batch_stats}
+    return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+
+class InferenceKeypointsModel:
+    limbs = COCO_LIMBS
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        det_thr: float = 0.05,
+        tag_thr: float = 0.5,
+        use_flip: bool = False,
+        input_size: int = 512,
+        max_num_people: int = 30,
+    ):
+        self.model = model
+        self.variables = variables
+        self.det_thr = det_thr
+        self.tag_thr = tag_thr
+        self.use_flip = use_flip
+        self.input_size = input_size
+        self.max_num_people = max_num_people
+        self.model_input_shape: tuple | None = None
+
+    @functools.partial(jax.jit, static_argnames=("self", "hw"))
+    def _infer(self, variables, x, hw):
+        """Forward (+flip TTA) + aggregation + decode, one graph per shape."""
+        stages_hms, tags = self.model.apply(variables, x, train=False)
+        if self.use_flip:
+            f_hms, f_tags = self.model.apply(variables, x[:, :, ::-1, :], train=False)
+            stages_hms = [
+                merge_flip_heatmaps(h, fh) for h, fh in zip(stages_hms, f_hms)
+            ]
+            tags_list = [tags, flip_back(f_tags)]
+        else:
+            tags_list = [tags]
+        joints, scores, valid = decode_batch(
+            stages_hms, tags_list, input_hw=hw,
+            max_num_people=self.max_num_people,
+            det_thr=self.det_thr, tag_thr=self.tag_thr,
+        )
+        avg = resize_bilinear(average_stages(stages_hms), *hw)
+        tags_stacked = jnp.stack(
+            [resize_bilinear(t, *hw) for t in tags_list], axis=-1
+        )
+        return joints, scores, valid, avg, tags_stacked
+
+    def prepare_input(self, image: np.ndarray):
+        resized, center, scale = resize_align_multi_scale(image, self.input_size, 1, 1)
+        x = normalize(resized)[None]
+        return x, center, scale
+
+    def __call__(self, raw_image: np.ndarray, annot=None) -> InferenceKeypointsResult:
+        x, center, scale = self.prepare_input(raw_image)
+        h, w = x.shape[1:3]
+        self.model_input_shape = (h, w)
+        dtype = getattr(self.model, "dtype", jnp.float32)
+        xj = jnp.asarray(x, dtype)
+        joints, scores, valid, avg, tags = self._infer(self.variables, xj, (h, w))
+        return InferenceKeypointsResult.from_decoded(
+            raw_image=raw_image,
+            annot=annot,
+            model_input_image=inverse_normalize(x[0]),
+            avg_heatmaps=np.asarray(avg[0]),
+            tags_heatmaps=np.asarray(tags[0]),
+            joints=joints[0],
+            obj_scores=scores[0],
+            valid=valid[0],
+            center=center,
+            scale=scale,
+            det_thr=self.det_thr,
+            tag_thr=self.tag_thr,
+            limbs=self.limbs,
+        )
+
+
+class InferenceClassificationModel:
+    def __init__(self, model, variables: dict, labels: list[str] | None = None,
+                 input_size: int = 224):
+        self.model = model
+        self.variables = variables
+        self.labels = labels or [str(i) for i in range(1000)]
+        self.transform = ClassificationTransform(out_size=input_size)
+        self._apply = jax.jit(
+            lambda v, x: jax.nn.softmax(self.model.apply(v, x, train=False), axis=-1)
+        )
+
+    def __call__(self, raw_image: np.ndarray, target: int | None = None) -> ClassificationResult:
+        x = self.transform.inference(raw_image)
+        dtype = getattr(self.model, "dtype", jnp.float32)
+        probs = np.asarray(self._apply(self.variables, jnp.asarray(x[None], dtype))[0])
+        return ClassificationResult(image=x, probs=probs, labels=self.labels, target=target)

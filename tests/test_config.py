@@ -1,0 +1,105 @@
+"""Config system: yaml -> CLI overrides -> dataclasses -> factories, plus an
+end-to-end keypoints training smoke run driven entirely by config on the
+synthetic COCO fixture."""
+
+import numpy as np
+import pytest
+import yaml
+
+from human_pose_tpu.configs import (
+    ClassificationConfig,
+    KeypointsConfig,
+    parse_cli_value,
+    update_config,
+)
+from tests.test_data import make_coco_fixture
+from human_pose_tpu.data import prebake_annotations
+
+
+def test_cli_value_coercion():
+    assert parse_cli_value("none") is None
+    assert parse_cli_value("True") is True
+    assert parse_cli_value("false") is False
+    assert parse_cli_value("3") == 3
+    assert parse_cli_value("0.5") == 0.5
+    assert parse_cli_value("hello") == "hello"
+    assert parse_cli_value("[1, 2]") == [1, 2]
+    assert parse_cli_value("[0.25, 0.5]") == [0.25, 0.5]
+
+
+def test_yaml_cli_merge(tmp_path):
+    cfg = {
+        "setup": {"seed": 42, "experiment_name": "keypoints"},
+        "trainer": {"max_epochs": 300, "limit_batches": -1},
+        "net": {"params": {"C": 32}},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    merged = KeypointsConfig.from_yaml_to_dict(
+        str(p), ["--setup.seed=7", "--trainer.limit_batches=2", "--net.params.C=8"]
+    )
+    assert merged["setup"]["seed"] == 7
+    assert merged["trainer"]["limit_batches"] == 2
+    assert merged["net"]["params"]["C"] == 8
+
+
+def test_debug_mode_renames_experiment():
+    cfg = KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "keypoints"}, "trainer": {"limit_batches": 2}}
+    )
+    assert cfg.is_debug
+    assert cfg.setup.experiment_name == "debug"
+    assert "debug" in str(cfg.log_path)
+
+
+def test_reference_yaml_files_parse():
+    kp = KeypointsConfig.from_dict(
+        KeypointsConfig.from_yaml_to_dict("experiments/keypoints/higher_hrnet_32.yaml", [])
+    )
+    assert kp.setup.architecture == "HigherHRNet"
+    assert kp.module.optimizers["optim"]["name"] == "Adam"
+    assert kp.transform.max_rotation == 30
+    cl = ClassificationConfig.from_dict(
+        ClassificationConfig.from_yaml_to_dict("experiments/classification/hrnet_32.yaml", [])
+    )
+    assert cl.module.optimizers["optim"]["params"]["nesterov"] is True
+
+
+@pytest.mark.slow
+def test_config_driven_training_smoke(tmp_path, monkeypatch):
+    """Full config-driven run: yaml dict -> factories -> trainer.fit on the
+    synthetic COCO fixture with a shallow net (cpu dtype)."""
+    root = tmp_path / "coco"
+    make_coco_fixture(root, n_images=2, size=64)
+    prebake_annotations(str(root), "val2017")
+    monkeypatch.chdir(tmp_path)
+
+    cfg_dict = {
+        "setup": {"seed": 0, "experiment_name": "kp", "architecture": "HigherHRNet"},
+        "trainer": {"accelerator": "cpu", "max_epochs": 1, "limit_batches": 1,
+                    "use_DDP": False},
+        "dataloader": {
+            "batch_size": 2,
+            "num_workers": 1,
+            "train_ds": {"root": str(root), "split": "val2017", "out_size": 64,
+                          "max_num_people": 5},
+            "val_ds": {"root": str(root), "split": "val2017", "out_size": 64,
+                        "max_num_people": 5},
+        },
+        "transform": {"out_size": 64},
+        "module": {
+            "optimizers": {"optim": {"name": "Adam", "params": {"lr": 0.001}}},
+            "lr_schedulers": {"optim": {"name": "MultiStepLR", "interval": "epoch",
+                                         "params": {"milestones": [200], "gamma": 0.1}}},
+        },
+        "net": {"params": {"num_kpts": 17, "C": 8,
+                            "num_blocks_per_stage": [1, 1, 1, 1], "num_units": 1,
+                            "num_deconv_resid_blocks": 1}},
+    }
+    cfg = KeypointsConfig.from_dict(cfg_dict)
+    dm = cfg.create_datamodule()
+    module = cfg.create_module()
+    trainer = cfg.create_trainer()
+    trainer.fit(module, dm)
+    assert trainer.current_step == 1
+    assert (cfg.log_path / "checkpoints" / "last.pt").exists()
