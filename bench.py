@@ -37,35 +37,32 @@ def main() -> None:
     variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
     images = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
 
-    @jax.jit
-    def infer(variables, images, jitter):
-        # jitter makes every dispatch a distinct computation so no runtime
-        # layer can coalesce repeated identical calls
-        stages_hms, tags = model.apply(variables, images + jitter, train=False)
+    def infer(variables, images):
+        stages_hms, tags = model.apply(variables, images, train=False)
         joints, scores, valid = decode_batch(
             stages_hms, [tags], input_hw=(SIZE, SIZE),
             max_num_people=30, det_thr=0.05, tag_thr=0.5,
         )
         return joints, scores, valid
 
-    # NOTE: through the axon tunnel block_until_ready can return before
-    # execution finishes; a host fetch of each output is the only honest sync.
-    def run_synced(i):
-        joints, scores, valid = infer(variables, images, jnp.bfloat16(i * 1e-4))
-        return float(scores.sum())
+    # ITERS steps inside one graph: measures steady-state device throughput.
+    # (Per-dispatch measurement is meaningless here — the axon tunnel adds
+    # ~60-150 ms of host round-trip per call that local serving would not pay;
+    # and block_until_ready can return before execution, so the only honest
+    # sync is a host fetch of a value that depends on every iteration.)
+    @jax.jit
+    def many(variables, images):
+        def body(i, acc):
+            # jitter makes every iteration a distinct computation
+            _, scores, _ = infer(variables, images + jnp.bfloat16(i) * jnp.bfloat16(1e-4))
+            return acc + scores.sum()
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-    run_synced(0)  # compile
-    for i in range(WARMUP):
-        run_synced(i)
-
-    t0 = time.perf_counter()
-    outs = [
-        infer(variables, images, jnp.bfloat16((WARMUP + i) * 1e-4))
-        for i in range(ITERS)
-    ]
-    acc = sum(float(s.sum()) for _, s, _ in outs)  # forces every execution
-    dt = time.perf_counter() - t0
+    acc = float(many(variables, images))  # compile + warmup
     assert acc == acc  # no NaN
+    t0 = time.perf_counter()
+    acc = float(many(variables, images))
+    dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
     print(

@@ -137,14 +137,21 @@ def match_by_tag(
             cost = jnp.round(dist) * 100.0 - cand_scores[:, None]
             # fake columns (nonexistent persons) ~ reference 1e10 padding
             cost = jnp.where(person_valid[None, :], cost, _PAD)
-            # fake rows (below-threshold candidates): constant rows do not
-            # perturb the optimum of the real rows
-            cost = jnp.where(valid_cand[:, None], cost, 0.0)
-            col = hungarian(cost)  # [M]
+            # below-threshold candidates are padding rows. Sorting real rows
+            # first (stable, preserving the reference's filtered-row order)
+            # lets the solver run augmenting paths ONLY for real rows — the
+            # sequential loop count is the decode's latency driver on TPU.
+            order = jnp.argsort(~valid_cand, stable=True)
+            n_real = valid_cand.sum()
+            col_sorted = hungarian(cost[order], num_valid_rows=n_real)
+            inv_order = jnp.argsort(order)
+            col = col_sorted[inv_order]  # [M]; -1 for unassigned/fake rows
 
-            raw_d = jnp.take_along_axis(dist, col[:, None], axis=1)[:, 0]
-            col_valid = jnp.take(person_valid, col)
+            col_c = jnp.clip(col, 0, p - 1)
+            raw_d = jnp.take_along_axis(dist, col_c[:, None], axis=1)[:, 0]
+            col_valid = (col >= 0) & jnp.take(person_valid, col_c)
             matched = valid_cand & col_valid & (raw_d < tag_thr)
+            col = col_c
 
             tgt = jnp.where(matched, col, p)
             joints = state.joints.at[tgt, idx].set(cand_joint, mode="drop")
@@ -239,11 +246,63 @@ def _refine_person(kpts_hms, tags_hms, person_joints):
 
 
 def refine(kpts_hms, tags_hms, grouped_joints):
-    """Refine all persons; lax.map keeps the [K, H, W] distance maps from
-    materializing for all persons at once."""
-    return jax.lax.map(
-        lambda pj: _refine_person(kpts_hms, tags_hms, pj), grouped_joints
+    """Refine all persons at once (reference grouping.py:193-250, vectorized).
+
+    The per-person distance maps ``||tags - prev_tag_p||`` stay inside the
+    argmax reduction (XLA fuses the broadcast into the reduce), so nothing of
+    shape [P, K, H, W] is materialized; HBM traffic is one read of the tag and
+    heatmap stacks instead of P reads as in the sequential formulation."""
+    p_cap, k, _ = grouped_joints.shape
+    _, h, w = kpts_hms.shape
+
+    score = grouped_joints[..., 2]  # [P, K]
+    det = score > 0.0
+    xi = jnp.clip(grouped_joints[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(grouped_joints[..., 1].astype(jnp.int32), 0, h - 1)
+    kk = jnp.broadcast_to(jnp.arange(k)[None, :], (p_cap, k))
+    det_tags = tags_hms[kk, yi, xi]  # [P, K, E]
+    n_det = jnp.maximum(det.sum(axis=1), 1.0)  # [P]
+    prev_tag = (
+        jnp.sum(jnp.where(det[..., None], det_tags, 0.0), axis=1) / n_det[:, None]
+    )  # [P, E]
+
+    # hms_diff[p, k, yx] = hm[k, yx] - round(||tags[k, yx] - prev[p]||)
+    hm_flat = kpts_hms.reshape(k, h * w)  # [K, HW]
+
+    use_pallas = jax.default_backend() == "tpu" and (h * w) % 128 == 0
+    if use_pallas:
+        from .pallas_decode import refine_argmax
+
+        tags_kehw = jnp.transpose(tags_hms, (0, 3, 1, 2)).reshape(k, -1, h * w)
+        idx_kp, _ = refine_argmax(hm_flat, tags_kehw, prev_tag)
+        flat_idx = idx_kp.T  # [P, K]
+    else:
+        tags_flat = tags_hms.reshape(k, h * w, -1)  # [K, HW, E]
+
+        def per_person(prev):  # [E] -> [K]
+            d = jnp.sqrt(jnp.sum((tags_flat - prev[None, None, :]) ** 2, axis=-1))
+            diff = hm_flat - jnp.round(d)
+            return jnp.argmax(diff, axis=1)
+
+        flat_idx = jax.vmap(per_person)(prev_tag)  # [P, K]
+    fy = (flat_idx // w).astype(jnp.int32)
+    fx = (flat_idx % w).astype(jnp.int32)
+    val = kpts_hms[kk, fy, fx]  # [P, K]
+
+    right = kpts_hms[kk, fy, jnp.minimum(fx + 1, w - 1)]
+    left = kpts_hms[kk, fy, jnp.maximum(fx - 1, 0)]
+    down = kpts_hms[kk, jnp.minimum(fy + 1, h - 1), fx]
+    up = kpts_hms[kk, jnp.maximum(fy - 1, 0), fx]
+    new_x = fx.astype(jnp.float32) + 0.5 + jnp.where(right > left, 0.25, -0.25)
+    new_y = fy.astype(jnp.float32) + 0.5 + jnp.where(down > up, 0.25, -0.25)
+
+    replace = (val > 0.0) & (score == 0.0) & (det.sum(axis=1, keepdims=True) > 0)
+    out = grouped_joints.at[..., 0].set(
+        jnp.where(replace, new_x, grouped_joints[..., 0])
     )
+    out = out.at[..., 1].set(jnp.where(replace, new_y, grouped_joints[..., 1]))
+    out = out.at[..., 2].set(jnp.where(replace, val, grouped_joints[..., 2]))
+    return out
 
 
 @functools.partial(

@@ -21,14 +21,19 @@ import jax.numpy as jnp
 _INF = jnp.float32(1e18)
 
 
-def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
-    """Solve min-cost perfect matching on a square cost matrix.
+def hungarian(cost: jnp.ndarray, num_valid_rows: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Solve min-cost matching on a square cost matrix.
 
     Args:
       cost: [n, n] float32 (finite values; <=1e12 recommended).
+      num_valid_rows: optional traced scalar r <= n — only the FIRST r rows are
+        assigned (augmenting paths run r times instead of n; the remaining
+        rows get -1). Use when trailing rows are padding: skipping them keeps
+        the optimum for the real rows and cuts the sequential loop count,
+        which dominates decode latency on TPU.
 
     Returns:
-      [n] int32, ``col[r]`` = column assigned to row r.
+      [n] int32, ``col[r]`` = column assigned to row r (-1 if unassigned).
     """
     n = cost.shape[0]
     cost = cost.astype(jnp.float32)
@@ -86,12 +91,14 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
         _, p = jax.lax.while_loop(cond2, body2, (j0, p))
         return u, v, p
 
-    _, _, p = jax.lax.fori_loop(1, n + 1, assign_row, (u0, v0, p0))
+    upper = (n if num_valid_rows is None else jnp.minimum(num_valid_rows, n)) + 1
+    _, _, p = jax.lax.fori_loop(1, upper, assign_row, (u0, v0, p0))
 
-    # invert: col j (1..n) -> row p[j]; produce row -> col
-    rows = p[1:] - 1  # [n], row index matched to each column
-    col_of_row = jnp.zeros(n, jnp.int32).at[rows].set(
-        jnp.arange(n, dtype=jnp.int32)
+    # invert: col j (1..n) -> row p[j]; produce row -> col. Unmatched columns
+    # have p[j] == 0 and must not scatter (a -1 row index would wrap).
+    rows = jnp.where(p[1:] > 0, p[1:] - 1, n)  # [n]
+    col_of_row = jnp.full(n, -1, jnp.int32).at[rows].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     return col_of_row
 

@@ -1,0 +1,125 @@
+"""Pallas TPU kernels for the keypoint decode hot spots.
+
+``refine_argmax``: for each joint k and person p, find
+``argmax_yx( hm[k] - round(||tags[k] - prev_tag[p]||) )`` and the heatmap
+value there — the refine pass of the AE decode (reference
+grouping.py:216-229).
+
+The naive XLA formulation re-reads the [K, H, W] tag/heatmap stacks once per
+person (P x HBM traffic) and serializes full-map reductions. This kernel
+streams one joint's maps through VMEM in row tiles, computes the quantized
+tag-distance surface for ALL persons per tile on the VPU, and keeps lane-wise
+running (max, first-argmax, value) accumulators — one HBM read total, with
+argmax tie-breaking identical to np.argmax (first position in row-major
+order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _pick_row_tile(rows: int) -> int:
+    for tr in (128, 64, 32, 16, 8, 4, 2, 1):
+        if rows % tr == 0:
+            return tr
+    return 1
+
+
+def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR):
+    rows = HW // LANES
+    T = rows // TR
+    prev = prev_ref[...]  # [P, E]
+    neg_inf = jnp.float32(-jnp.inf)
+
+    best_diff = jnp.full((P, LANES), neg_inf, jnp.float32)
+    best_row = jnp.zeros((P, LANES), jnp.int32)
+    best_hm = jnp.zeros((P, LANES), jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, TR, LANES), 1)
+
+    def tile_body(t, carry):
+        best_diff, best_row, best_hm = carry
+        hm_t = hm_ref[0, pl.ds(t * TR, TR), :]  # [TR, LANES]
+        acc = jnp.zeros((P, TR, LANES), jnp.float32)
+        for e in range(E):  # static tiny loop
+            tg = tags_ref[0, e, pl.ds(t * TR, TR), :]
+            d = tg[None, :, :] - prev[:, e][:, None, None]
+            acc = acc + d * d
+        diff = hm_t[None] - jnp.round(jnp.sqrt(acc))  # [P, TR, LANES]
+        tmax = jnp.max(diff, axis=1)  # [P, LANES]
+        # first row attaining the per-lane max
+        trow = jnp.min(
+            jnp.where(diff == tmax[:, None, :], row_iota, TR), axis=1
+        )  # [P, LANES]
+        thm = jnp.max(
+            jnp.where(row_iota == trow[:, None, :], hm_t[None], neg_inf), axis=1
+        )  # [P, LANES]
+        better = tmax > best_diff  # strict: earlier tile wins ties
+        best_row = jnp.where(better, trow + t * TR, best_row)
+        best_hm = jnp.where(better, thm, best_hm)
+        best_diff = jnp.where(better, tmax, best_diff)
+        return best_diff, best_row, best_hm
+
+    best_diff, best_row, best_hm = jax.lax.fori_loop(
+        0, T, tile_body, (best_diff, best_row, best_hm)
+    )
+
+    # resolve across lanes: smallest linear index among global maxima
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
+    lin = best_row * LANES + lane_iota
+    m = jnp.max(best_diff, axis=1, keepdims=True)  # [P, 1]
+    idx = jnp.min(jnp.where(best_diff == m, lin, HW), axis=1)  # [P]
+    val = jnp.max(
+        jnp.where(lin == idx[:, None], best_hm, neg_inf), axis=1
+    )  # [P]
+    idx_ref[0, 0, :] = idx
+    val_ref[0, 0, :] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def refine_argmax(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpret: bool = False):
+    """Args:
+      hm:   [K, HW] float32 keypoint heatmaps (flattened spatial)
+      tags: [K, E, HW] float32 tag maps
+      prev: [P, E] float32 per-person mean tags
+
+    Returns:
+      (idx [K, P] int32 flat argmax positions, val [K, P] float32 heatmap
+      values at those positions)
+    """
+    k, hw = hm.shape
+    e = tags.shape[1]
+    p = prev.shape[0]
+    assert hw % LANES == 0, f"HW={hw} must be a multiple of {LANES}"
+    rows = hw // LANES
+    tr = _pick_row_tile(rows)
+
+    hm3 = hm.reshape(k, rows, LANES)
+    tags4 = tags.reshape(k, e, rows, LANES)
+    kernel = functools.partial(_refine_kernel, P=p, E=e, HW=hw, TR=tr)
+    idx, val = pl.pallas_call(
+        kernel,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, rows, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, e), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((k, 1, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hm3, tags4, prev)
+    return idx[:, 0, :], val[:, 0, :]
