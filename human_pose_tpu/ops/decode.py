@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .grouping import parse
+from .grouping import parse_batch
 from .heatmaps import average_stages, resize_bilinear
 
 
@@ -56,14 +56,12 @@ def decode_batch(
         axis=-1,
     )  # [N, H, W, K, E]
 
-    # parse works on [K, H, W] / [K, H, W, E]
+    # parse works on [B, K, H, W] / [B, K, H, W, E]
     kpts_khw = jnp.transpose(avg, (0, 3, 1, 2))
     tags_khw = jnp.transpose(tags, (0, 3, 1, 2, 4))
 
-    return jax.vmap(
-        lambda kh, th: parse(
-            kh, th,
-            max_num_people=max_num_people, det_thr=det_thr, tag_thr=tag_thr,
-            do_adjust=do_adjust, do_refine=do_refine,
-        )
-    )(kpts_khw, tags_khw)
+    return parse_batch(
+        kpts_khw, tags_khw,
+        max_num_people=max_num_people, det_thr=det_thr, tag_thr=tag_thr,
+        do_adjust=do_adjust, do_refine=do_refine,
+    )

@@ -44,17 +44,46 @@ _PAD = jnp.float32(1e10)
 
 
 def nms(kpts_heatmaps: jnp.ndarray, pool_size: int = 5) -> jnp.ndarray:
-    """Keep only local maxima of a [K, H, W] heatmap stack (5x5 window)."""
+    """Keep only local maxima of a [K, H, W] heatmap stack (5x5 window).
+
+    Max-pooling is separable: two 1-D reduce_windows do 2*pool reads per
+    element instead of pool^2 (the reference uses a dense torch MaxPool2d,
+    grouping.py:74)."""
     pad = pool_size // 2
     pooled = jax.lax.reduce_window(
-        kpts_heatmaps,
-        -jnp.inf,
-        jax.lax.max,
-        (1, pool_size, pool_size),
-        (1, 1, 1),
-        [(0, 0), (pad, pad), (pad, pad)],
+        kpts_heatmaps, -jnp.inf, jax.lax.max,
+        (1, pool_size, 1), (1, 1, 1), [(0, 0), (pad, pad), (0, 0)],
+    )
+    pooled = jax.lax.reduce_window(
+        pooled, -jnp.inf, jax.lax.max,
+        (1, 1, pool_size), (1, 1, 1), [(0, 0), (0, 0), (pad, pad)],
     )
     return jnp.where(pooled == kpts_heatmaps, kpts_heatmaps, 0.0)
+
+
+def _chunked_top_k(flat: jnp.ndarray, k_want: int, chunk: int = 16384):
+    """Exact top-k via chunking: each global winner is a top-k member of its
+    chunk, so top-k per chunk + top-k of the union is exact. Much cheaper than
+    one huge sort on TPU; indices are remapped to the flat space. Ties resolve
+    to the lowest flat index, like lax.top_k."""
+    r, n = flat.shape
+    if n <= chunk * 2:
+        return jax.lax.top_k(flat, k_want)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    chunked = flat.reshape(r, n_chunks, chunk)
+    vals, idxs = jax.lax.top_k(chunked, k_want)  # [R, C, k]
+    base = (jnp.arange(n_chunks) * chunk)[None, :, None]
+    flat_idxs = (idxs + base).reshape(r, n_chunks * k_want)
+    vals = vals.reshape(r, n_chunks * k_want)
+    # lexicographic tie-break on (value desc, index asc): lax.top_k keeps the
+    # lower position among equal values, and candidates are ordered by chunk,
+    # hence by flat index
+    top_vals, pos = jax.lax.top_k(vals, k_want)
+    top_idxs = jnp.take_along_axis(flat_idxs, pos, axis=1)
+    return top_vals, top_idxs
 
 
 def top_k(kpts_hms: jnp.ndarray, tags_hms: jnp.ndarray, max_num_people: int):
@@ -71,7 +100,7 @@ def top_k(kpts_hms: jnp.ndarray, tags_hms: jnp.ndarray, max_num_people: int):
     e = tags_hms.shape[-1]
     suppressed = nms(kpts_hms)
     flat = suppressed.reshape(k, h * w)
-    scores_k, idxs = jax.lax.top_k(flat, max_num_people)  # [K, M] sorted desc
+    scores_k, idxs = _chunked_top_k(flat, max_num_people)  # [K, M] sorted desc
     x = (idxs % w).astype(jnp.int32)
     y = (idxs // w).astype(jnp.int32)
     coords_k = jnp.stack([x, y], axis=-1)
@@ -206,103 +235,144 @@ def adjust(grouped_joints: jnp.ndarray, kpts_hms: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _refine_person(kpts_hms, tags_hms, person_joints):
-    """Recover missing joints for one person (reference grouping.py:193-250)."""
-    k, h, w = kpts_hms.shape
-    e = tags_hms.shape[-1]
-    score = person_joints[:, 2]
-    det = score > 0.0
+def refine_batch(kpts_hms, tags_hms, grouped_joints):
+    """Batched refine (reference grouping.py:193-250, vectorized).
 
-    xi = jnp.clip(person_joints[:, 0].astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(person_joints[:, 1].astype(jnp.int32), 0, h - 1)
-    kk = jnp.arange(k)
-    det_tags = tags_hms[kk, yi, xi]  # [K, E]
-    n_det = jnp.maximum(det.sum(), 1.0)
-    prev_tag = jnp.sum(jnp.where(det[:, None], det_tags, 0.0), axis=0) / n_det  # [E]
+    kpts_hms [B, K, H, W], tags_hms [B, K, H, W, E], grouped [B, P, K, 3+E].
+    On TPU the per-person distance-surface argmax runs as a Pallas kernel
+    (one HBM read of the maps total); elsewhere a vmapped XLA formulation."""
+    b, p_cap, k, _ = grouped_joints.shape
+    h, w = kpts_hms.shape[2:]
 
-    tags_dist = jnp.sqrt(
-        jnp.sum((tags_hms - prev_tag[None, None, None, :]) ** 2, axis=-1)
-    )  # [K, H, W]
-    hms_diff = kpts_hms - jnp.round(tags_dist)
-    flat_idx = jnp.argmax(hms_diff.reshape(k, h * w), axis=1)
-    fy = (flat_idx // w).astype(jnp.int32)
-    fx = (flat_idx % w).astype(jnp.int32)
-    val = kpts_hms[kk, fy, fx]
-
-    right = kpts_hms[kk, fy, jnp.minimum(fx + 1, w - 1)]
-    left = kpts_hms[kk, fy, jnp.maximum(fx - 1, 0)]
-    down = kpts_hms[kk, jnp.minimum(fy + 1, h - 1), fx]
-    up = kpts_hms[kk, jnp.maximum(fy - 1, 0), fx]
-    new_x = fx.astype(jnp.float32) + 0.5 + jnp.where(right > left, 0.25, -0.25)
-    new_y = fy.astype(jnp.float32) + 0.5 + jnp.where(down > up, 0.25, -0.25)
-
-    # only replace joints the grouping missed, only with positive detections,
-    # and only for persons that have at least one detected joint
-    replace = (val > 0.0) & (score == 0.0) & (det.sum() > 0)
-    out = person_joints.at[:, 0].set(jnp.where(replace, new_x, person_joints[:, 0]))
-    out = out.at[:, 1].set(jnp.where(replace, new_y, person_joints[:, 1]))
-    out = out.at[:, 2].set(jnp.where(replace, val, person_joints[:, 2]))
-    return out
-
-
-def refine(kpts_hms, tags_hms, grouped_joints):
-    """Refine all persons at once (reference grouping.py:193-250, vectorized).
-
-    The per-person distance maps ``||tags - prev_tag_p||`` stay inside the
-    argmax reduction (XLA fuses the broadcast into the reduce), so nothing of
-    shape [P, K, H, W] is materialized; HBM traffic is one read of the tag and
-    heatmap stacks instead of P reads as in the sequential formulation."""
-    p_cap, k, _ = grouped_joints.shape
-    _, h, w = kpts_hms.shape
-
-    score = grouped_joints[..., 2]  # [P, K]
+    score = grouped_joints[..., 2]  # [B, P, K]
     det = score > 0.0
     xi = jnp.clip(grouped_joints[..., 0].astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(grouped_joints[..., 1].astype(jnp.int32), 0, h - 1)
-    kk = jnp.broadcast_to(jnp.arange(k)[None, :], (p_cap, k))
-    det_tags = tags_hms[kk, yi, xi]  # [P, K, E]
-    n_det = jnp.maximum(det.sum(axis=1), 1.0)  # [P]
+    bb = jnp.arange(b)[:, None, None]
+    kk = jnp.broadcast_to(jnp.arange(k)[None, None, :], (b, p_cap, k))
+    det_tags = tags_hms[bb, kk, yi, xi]  # [B, P, K, E]
+    n_det = jnp.maximum(det.sum(axis=2), 1.0)  # [B, P]
     prev_tag = (
-        jnp.sum(jnp.where(det[..., None], det_tags, 0.0), axis=1) / n_det[:, None]
-    )  # [P, E]
+        jnp.sum(jnp.where(det[..., None], det_tags, 0.0), axis=2) / n_det[..., None]
+    )  # [B, P, E]
 
-    # hms_diff[p, k, yx] = hm[k, yx] - round(||tags[k, yx] - prev[p]||)
-    hm_flat = kpts_hms.reshape(k, h * w)  # [K, HW]
+    hm_flat = kpts_hms.reshape(b, k, h * w)  # [B, K, HW]
 
-    use_pallas = jax.default_backend() == "tpu" and (h * w) % 128 == 0
-    if use_pallas:
-        from .pallas_decode import refine_argmax
+    if _use_pallas(h, w):
+        from .pallas_decode import refine_argmax_batch
 
-        tags_kehw = jnp.transpose(tags_hms, (0, 3, 1, 2)).reshape(k, -1, h * w)
-        idx_kp, _ = refine_argmax(hm_flat, tags_kehw, prev_tag)
-        flat_idx = idx_kp.T  # [P, K]
+        tags_kehw = jnp.transpose(tags_hms, (0, 1, 4, 2, 3)).reshape(b, k, -1, h * w)
+        idx_bkp, _ = refine_argmax_batch(hm_flat, tags_kehw, prev_tag)
+        flat_idx = jnp.transpose(idx_bkp, (0, 2, 1))  # [B, P, K]
     else:
-        tags_flat = tags_hms.reshape(k, h * w, -1)  # [K, HW, E]
+        tags_flat = tags_hms.reshape(b, k, h * w, -1)  # [B, K, HW, E]
 
-        def per_person(prev):  # [E] -> [K]
-            d = jnp.sqrt(jnp.sum((tags_flat - prev[None, None, :]) ** 2, axis=-1))
-            diff = hm_flat - jnp.round(d)
-            return jnp.argmax(diff, axis=1)
+        def per_person(tf, hf, prev):  # [K,HW,E], [K,HW], [E] -> [K]
+            d = jnp.sqrt(jnp.sum((tf - prev[None, None, :]) ** 2, axis=-1))
+            return jnp.argmax(hf - jnp.round(d), axis=1)
 
-        flat_idx = jax.vmap(per_person)(prev_tag)  # [P, K]
+        flat_idx = jax.vmap(
+            lambda tf, hf, prevs: jax.vmap(lambda pv: per_person(tf, hf, pv))(prevs)
+        )(tags_flat, hm_flat, prev_tag)  # [B, P, K]
+
     fy = (flat_idx // w).astype(jnp.int32)
     fx = (flat_idx % w).astype(jnp.int32)
-    val = kpts_hms[kk, fy, fx]  # [P, K]
+    val = kpts_hms[bb, kk, fy, fx]  # [B, P, K]
 
-    right = kpts_hms[kk, fy, jnp.minimum(fx + 1, w - 1)]
-    left = kpts_hms[kk, fy, jnp.maximum(fx - 1, 0)]
-    down = kpts_hms[kk, jnp.minimum(fy + 1, h - 1), fx]
-    up = kpts_hms[kk, jnp.maximum(fy - 1, 0), fx]
+    right = kpts_hms[bb, kk, fy, jnp.minimum(fx + 1, w - 1)]
+    left = kpts_hms[bb, kk, fy, jnp.maximum(fx - 1, 0)]
+    down = kpts_hms[bb, kk, jnp.minimum(fy + 1, h - 1), fx]
+    up = kpts_hms[bb, kk, jnp.maximum(fy - 1, 0), fx]
     new_x = fx.astype(jnp.float32) + 0.5 + jnp.where(right > left, 0.25, -0.25)
     new_y = fy.astype(jnp.float32) + 0.5 + jnp.where(down > up, 0.25, -0.25)
 
-    replace = (val > 0.0) & (score == 0.0) & (det.sum(axis=1, keepdims=True) > 0)
+    replace = (val > 0.0) & (score == 0.0) & (det.sum(axis=2, keepdims=True) > 0)
     out = grouped_joints.at[..., 0].set(
         jnp.where(replace, new_x, grouped_joints[..., 0])
     )
     out = out.at[..., 1].set(jnp.where(replace, new_y, grouped_joints[..., 1]))
     out = out.at[..., 2].set(jnp.where(replace, val, grouped_joints[..., 2]))
     return out
+
+
+def refine(kpts_hms, tags_hms, grouped_joints):
+    """Single-image refine; see refine_batch."""
+    return refine_batch(kpts_hms[None], tags_hms[None], grouped_joints[None])[0]
+
+
+def _use_pallas(h: int, w: int) -> bool:
+    return jax.default_backend() == "tpu" and (h * w) % 128 == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_num_people", "det_thr", "tag_thr", "do_adjust", "do_refine")
+)
+def parse_batch(
+    kpts_hms: jnp.ndarray,
+    tags_hms: jnp.ndarray,
+    max_num_people: int = 30,
+    det_thr: float = 0.1,
+    tag_thr: float = 1.0,
+    do_adjust: bool = True,
+    do_refine: bool = True,
+):
+    """Batched full decode (reference grouping.py:252-283 per image).
+
+    Args:
+      kpts_hms: [B, K, H, W] float32 averaged keypoint heatmaps
+      tags_hms: [B, K, H, W, E] float32 tag embeddings (E=2 with flip TTA)
+
+    Returns:
+      joints [B, P, K, 3+E] (x, y, score, tags), person_scores [B, P],
+      valid [B, P]
+
+    On TPU the sequential grouping and the refine pass run as Pallas kernels
+    (ops/pallas_match.py, ops/pallas_decode.py) with the batch on the kernel
+    grid; elsewhere the vmapped XLA formulations are used (identical results).
+    """
+    b, k, h, w = kpts_hms.shape
+    e = tags_hms.shape[-1]
+    m = max_num_people
+    tags_k, coords_k, scores_k = jax.vmap(
+        lambda kh, th: top_k(kh, th, m)
+    )(kpts_hms, tags_hms)  # [B,K,M,E], [B,K,M,2], [B,K,M]
+
+    if _use_pallas(h, w):
+        from .pallas_match import match_by_tag_pallas
+
+        cand = jnp.concatenate(
+            [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
+        )  # [B, K, M, 3+E]
+        order = JOINTS_ORDER[:k] if k <= len(JOINTS_ORDER) else tuple(range(k))
+        cand_ordered = cand[:, jnp.asarray(order)]
+        grouped, count = match_by_tag_pallas(
+            cand_ordered, det_thr=det_thr, tag_thr=tag_thr,
+            joints_order=tuple(order), num_persons=m,
+        )
+        valid = jnp.arange(m)[None, :] < count[:, None]
+    else:
+        grouped, valid = jax.vmap(
+            lambda t, c, s: match_by_tag(t, c, s, det_thr, tag_thr)
+        )(tags_k, coords_k, scores_k)
+
+    # fallback: no grouped persons -> single best-per-joint person with
+    # score 0.01 (reference grouping.py:262-269)
+    fb_coords = coords_k[:, :, 0].astype(jnp.float32)  # [B, K, 2]
+    fb_tags = tags_k[:, :, 0]  # [B, K, E]
+    fb_score = jnp.full((b, k, 1), 0.01, jnp.float32)
+    fb_person = jnp.concatenate([fb_coords, fb_score, fb_tags], axis=-1)  # [B,K,F]
+    fb_joints = jnp.zeros_like(grouped).at[:, 0].set(fb_person)
+    fb_valid = jnp.zeros_like(valid).at[:, 0].set(True)
+    need_fb = ~valid.any(axis=1)  # [B]
+    grouped = jnp.where(need_fb[:, None, None, None], fb_joints, grouped)
+    valid = jnp.where(need_fb[:, None], fb_valid, valid)
+
+    if do_adjust:
+        grouped = jax.vmap(adjust)(grouped, kpts_hms)
+    person_scores = grouped[..., 2].mean(axis=2)
+    if do_refine:
+        grouped = refine_batch(kpts_hms, tags_hms, grouped)
+    return grouped, person_scores, valid
 
 
 @functools.partial(
@@ -317,36 +387,10 @@ def parse(
     do_adjust: bool = True,
     do_refine: bool = True,
 ):
-    """Full decode for one image (reference grouping.py:252-283).
-
-    Args:
-      kpts_hms: [K, H, W] float32 averaged keypoint heatmaps
-      tags_hms: [K, H, W, E] float32 tag embeddings (E=2 with flip TTA)
-
-    Returns:
-      joints [P, K, 3+E] (x, y, score, tags), person_scores [P], valid [P]
-    """
-    tags_k, coords_k, scores_k = top_k(kpts_hms, tags_hms, max_num_people)
-    grouped, valid = match_by_tag(tags_k, coords_k, scores_k, det_thr, tag_thr)
-
-    # fallback: no grouped persons -> single best-per-joint person with
-    # score 0.01 (reference grouping.py:262-269)
-    def fallback(_):
-        coords = coords_k[:, 0].astype(jnp.float32)  # [K, 2]
-        tag = tags_k[:, 0]  # [K, E]
-        score = jnp.full((kpts_hms.shape[0], 1), 0.01, jnp.float32)
-        person = jnp.concatenate([coords, score, tag], axis=-1)
-        joints = jnp.zeros_like(grouped).at[0].set(person)
-        v = jnp.zeros_like(valid).at[0].set(True)
-        return joints, v
-
-    grouped, valid = jax.lax.cond(
-        valid.any(), lambda _: (grouped, valid), fallback, None
+    """Single-image decode (reference grouping.py:252-283): see parse_batch."""
+    joints, scores, valid = parse_batch(
+        kpts_hms[None], tags_hms[None],
+        max_num_people=max_num_people, det_thr=det_thr, tag_thr=tag_thr,
+        do_adjust=do_adjust, do_refine=do_refine,
     )
-
-    if do_adjust:
-        grouped = adjust(grouped, kpts_hms)
-    person_scores = grouped[..., 2].mean(axis=1)
-    if do_refine:
-        grouped = refine(kpts_hms, tags_hms, grouped)
-    return grouped, person_scores, valid
+    return joints[0], scores[0], valid[0]

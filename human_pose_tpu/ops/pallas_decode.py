@@ -36,7 +36,7 @@ def _pick_row_tile(rows: int) -> int:
 def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR):
     rows = HW // LANES
     T = rows // TR
-    prev = prev_ref[...]  # [P, E]
+    prev = prev_ref[0]  # [P, E]
     neg_inf = jnp.float32(-jnp.inf)
 
     best_diff = jnp.full((P, LANES), neg_inf, jnp.float32)
@@ -46,10 +46,10 @@ def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR
 
     def tile_body(t, carry):
         best_diff, best_row, best_hm = carry
-        hm_t = hm_ref[0, pl.ds(t * TR, TR), :]  # [TR, LANES]
+        hm_t = hm_ref[0, 0, pl.ds(t * TR, TR), :]  # [TR, LANES]
         acc = jnp.zeros((P, TR, LANES), jnp.float32)
         for e in range(E):  # static tiny loop
-            tg = tags_ref[0, e, pl.ds(t * TR, TR), :]
+            tg = tags_ref[0, 0, e, pl.ds(t * TR, TR), :]
             d = tg[None, :, :] - prev[:, e][:, None, None]
             acc = acc + d * d
         diff = hm_t[None] - jnp.round(jnp.sqrt(acc))  # [P, TR, LANES]
@@ -79,13 +79,15 @@ def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR
     val = jnp.max(
         jnp.where(lin == idx[:, None], best_hm, neg_inf), axis=1
     )  # [P]
-    idx_ref[0, 0, :] = idx
-    val_ref[0, 0, :] = val
+    idx_ref[0, 0, 0, :] = idx
+    val_ref[0, 0, 0, :] = val
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def refine_argmax(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpret: bool = False):
-    """Args:
+    """Single-image wrapper. See refine_argmax_batch.
+
+    Args:
       hm:   [K, HW] float32 keypoint heatmaps (flattened spatial)
       tags: [K, E, HW] float32 tag maps
       prev: [P, E] float32 per-person mean tags
@@ -94,32 +96,48 @@ def refine_argmax(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpr
       (idx [K, P] int32 flat argmax positions, val [K, P] float32 heatmap
       values at those positions)
     """
-    k, hw = hm.shape
-    e = tags.shape[1]
-    p = prev.shape[0]
+    idx, val = refine_argmax_batch(hm[None], tags[None], prev[None], interpret=interpret)
+    return idx[0], val[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def refine_argmax_batch(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpret: bool = False):
+    """Batched refine argmax, batch and joint dims on the kernel grid.
+
+    Args:
+      hm:   [B, K, HW] float32
+      tags: [B, K, E, HW] float32
+      prev: [B, P, E] float32
+
+    Returns:
+      (idx [B, K, P] int32, val [B, K, P] float32)
+    """
+    b, k, hw = hm.shape
+    e = tags.shape[2]
+    p = prev.shape[1]
     assert hw % LANES == 0, f"HW={hw} must be a multiple of {LANES}"
     rows = hw // LANES
     tr = _pick_row_tile(rows)
 
-    hm3 = hm.reshape(k, rows, LANES)
-    tags4 = tags.reshape(k, e, rows, LANES)
+    hm4 = hm.reshape(b, k, rows, LANES)
+    tags5 = tags.reshape(b, k, e, rows, LANES)
     kernel = functools.partial(_refine_kernel, P=p, E=e, HW=hw, TR=tr)
     idx, val = pl.pallas_call(
         kernel,
-        grid=(k,),
+        grid=(b, k),
         in_specs=[
-            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e, rows, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, e), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, LANES), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, rows, LANES), lambda bi, ki: (bi, ki, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, e), lambda bi, ki: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k, 1, p), jnp.int32),
-            jax.ShapeDtypeStruct((k, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(hm3, tags4, prev)
-    return idx[:, 0, :], val[:, 0, :]
+    )(hm4, tags5, prev)
+    return idx[:, :, 0, :], val[:, :, 0, :]

@@ -1,0 +1,288 @@
+"""Pallas TPU kernel for the sequential AE-tag grouping (match_by_tag).
+
+The grouping algorithm (reference grouping.py:85-145) is inherently
+sequential: joints are processed in a fixed order, each step solving a
+~30x30 assignment between new detections and the persons accumulated so far.
+Expressed in XLA this costs thousands of tiny while-loop iterations with
+~microseconds of loop overhead each (5-25 ms/image); on-core the same math is
+nanoseconds per step. This kernel runs the ENTIRE grouping — cost matrices,
+the shortest-augmenting-path Hungarian with row/column potentials, threshold
+gating, person-slot bookkeeping — for one image per grid cell, entirely in
+VMEM/registers.
+
+Layout conventions (everything tiny, padded to TPU tiles):
+  candidates m on SUBLANES (padded to 32), persons p on LANES (lane p),
+  lane 127 is the Hungarian's virtual column. Column->row "transposes" and
+  dynamic lane placement are eye/select matmuls on the MXU; scalar extraction
+  uses masked reductions.
+
+The reference's separate "seed" path (first joint with detections,
+grouping.py:107-111) is folded into the general path: with zero persons every
+column is padding, the assignment matches nothing, and all valid candidates
+become new persons in candidate order — byte-identical bookkeeping.
+
+Semantics match the fixed-slot formulation of ops/grouping.py:
+  * costs round(dist)*100 - score, nonexistent-person columns padded 1e10
+  * rows below det_thr are skipped (predicated), preserving candidate order
+  * assignment accepted iff raw tag distance < tag_thr, else the candidate
+    seeds a new person (in candidate order), capacity P
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 32  # candidate sublane padding
+VCOL = LANES - 1  # virtual Hungarian column
+_INF = 1e18  # python floats: jnp scalars would be captured consts in the kernel
+_PAD = 1e10
+
+
+def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
+                  det_thr, tag_thr):
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    lane_1 = lane_i[0:1]  # [1, LANES]
+    row_col = row_i[:, 0:1]  # [SUB, 1]
+    eye = (row_i == lane_i).astype(jnp.float32)  # [SUB, LANES]
+    ones_col = jnp.ones((SUB, 1), jnp.float32)
+    # NOTE: full-LANES triangular matrix — a [SUB, SUB] (32-lane) matmul LHS
+    # crashes the Mosaic compiler on v5e
+    tri128 = ((lane_i <= row_i) & (lane_i < SUB)).astype(jnp.float32)
+
+    def col2row(col):  # [SUB, 1] f32 -> [1, LANES]
+        return jax.lax.dot_general(
+            col, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        ).reshape(1, LANES)
+
+    def lane_extract_i(vec, j):
+        return jnp.sum(jnp.where(lane_1 == j, vec, 0)).astype(jnp.int32)
+
+    def sublane_extract_f(col, i):
+        return jnp.sum(jnp.where(row_col == i, col, 0.0))
+
+    def cumsum_rows(col):  # inclusive cumsum along sublanes of [SUB,1] f32
+        return jax.lax.dot_general(
+            tri128, col2row(col), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+
+    tag_window = lane_i < E
+    order_row = order_ref[0]  # [1, LANES] i32 (first K lanes hold the order)
+
+    def step(s, state):
+        joints_state, tag_sum, tag_cnt, count = state
+        idx = lane_extract_i(order_row, s)  # original joint id
+        cand = cand_ref[0, s]  # [SUB, F]
+        scores = cand[:, 2:3]  # [SUB, 1]
+        valid = (scores > det_thr) & (row_col < M)
+        validf = valid.astype(jnp.float32)
+        tagsc = cand[:, 3 : 3 + E]  # [SUB, E]
+        window = (lane_1 >= idx * F) & (lane_1 < idx * F + F)  # [1, LANES]
+        # dynamic lane placement: placed = gathered @ S, S[f, l] = (l == idx*F+f)
+        S = ((lane_i == idx * F + row_i) & (row_col < F)).astype(jnp.float32)[:F]
+
+        def gather(sel_f):  # [m-sub, p-lane] -> ([p-sub, F], [p-sub, 1])
+            g = jax.lax.dot_general(
+                sel_f, cand, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )[:SUB]
+            got = jax.lax.dot_general(
+                sel_f, ones_col, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )[:SUB]
+            return g, got
+
+        def place_dyn(vals):  # [SUB, F] -> [SUB, LANES] at lanes idx*F..
+            return jax.lax.dot_general(
+                vals, S, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def place_tags(vals):  # [SUB, E] -> [SUB, LANES] at lanes 0..E-1
+            pad = jnp.zeros((SUB, LANES - E), jnp.float32)
+            return jnp.concatenate([vals, pad], axis=1)
+
+        safe_cnt = jnp.maximum(tag_cnt, 1.0)
+        mean = tag_sum[:, :E] / safe_cnt  # [p-sub, E]
+
+        # dist^2[m, p] = t^2 - 2 t.mu + mu^2, persons on lanes
+        cross = jax.lax.dot_general(
+            tagsc, mean, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )  # [m-sub, p(SUB lanes)]
+        cross = jnp.concatenate(
+            [cross, jnp.zeros((SUB, LANES - SUB), jnp.float32)], axis=1
+        )
+        t2 = jnp.sum(tagsc * tagsc, axis=1, keepdims=True)  # [SUB,1]
+        mu2 = jnp.sum(mean * mean, axis=1, keepdims=True)  # [SUB,1]
+        dist = jnp.sqrt(jnp.maximum(t2 - 2.0 * cross + col2row(mu2), 0.0))
+
+        person_lane = lane_1 < count
+        cost = jnp.round(dist) * 100.0 - scores
+        cost = jnp.where(person_lane, cost, _PAD)
+
+        # ----- Hungarian: rows m predicated, cols on lanes -------------------
+        u0 = jnp.zeros((SUB, 1), jnp.float32)
+        v0 = jnp.zeros((1, LANES), jnp.float32)
+        pm0 = jnp.zeros((1, LANES), jnp.int32)  # row+1 matched to col
+
+        # NOTE Mosaic workarounds: masks are int32 (bool while-carries are
+        # rejected); augmenting paths early-exit via while_loop.
+        def assign_row(m, uvp):
+            u0_, v0_, pm_ = uvp
+            is_valid = jnp.sum(jnp.where(row_col == m, validf, 0.0)) > 0
+            pm_ = jnp.where(is_valid & (lane_1 == VCOL), m + 1, pm_)
+
+            def aug_cond(c):
+                u, v, p_match, minv, used, way, j0 = c
+                return is_valid & (lane_extract_i(p_match, j0) != 0)
+
+            def aug_body(c):
+                u, v, p_match, minv, used, way, j0 = c
+                used = jnp.maximum(used, (lane_1 == j0).astype(jnp.int32))
+                usedb = used > 0
+                i0 = lane_extract_i(p_match, j0)  # row+1
+                u_i0 = sublane_extract_f(u, i0 - 1)
+                cost_i0 = jnp.sum(
+                    jnp.where(row_col == i0 - 1, cost, 0.0),
+                    axis=0, keepdims=True,
+                )
+                cur = jnp.where(lane_1 == VCOL, _INF, cost_i0 - u_i0 - v)
+                upd = (~usedb) & (cur < minv)
+                way = jnp.where(upd, j0, way)
+                minv = jnp.where(upd, cur, minv)
+                masked = jnp.where(usedb | (lane_1 == VCOL), _INF, minv)
+                delta = jnp.min(masked)
+                j1 = jnp.min(
+                    jnp.where(masked == delta, lane_1, LANES)
+                ).astype(jnp.int32)
+                inc = jnp.max(
+                    jnp.where((p_match == row_i + 1) & usedb, 1.0, 0.0),
+                    axis=1, keepdims=True,
+                )
+                u = u + delta * inc
+                v = jnp.where(usedb, v - delta, v)
+                minv = jnp.where(usedb, minv, minv - delta)
+                return u, v, p_match, minv, used, way, j1
+
+            minv0 = jnp.full((1, LANES), _INF)
+            used0 = jnp.zeros((1, LANES), jnp.int32)
+            way0 = jnp.full((1, LANES), VCOL, jnp.int32)
+            u, v, p_match, minv, used, way, j0 = jax.lax.while_loop(
+                aug_cond, aug_body,
+                (u0_, v0_, pm_, minv0, used0, way0, jnp.int32(VCOL)),
+            )
+
+            def back_cond(c):
+                j0, p_match = c
+                return j0 != VCOL
+
+            def back_body(c):
+                j0, p_match = c
+                j1 = lane_extract_i(way, j0)
+                pj1 = lane_extract_i(p_match, j1)
+                p_match = jnp.where(lane_1 == j0, pj1, p_match)
+                return j1, p_match
+
+            j0, p_match = jax.lax.while_loop(back_cond, back_body, (j0, p_match))
+            return u, v, p_match
+
+        u, v, p_match = jax.lax.fori_loop(0, M, assign_row, (u0, v0, pm0))
+
+        # ----- harvest matches ------------------------------------------------
+        assign = (p_match == row_i + 1) & (lane_1 != VCOL)
+        matched = assign & (dist < tag_thr) & valid & person_lane
+        matchedf = matched.astype(jnp.float32)
+        gathered, got = gather(matchedf)
+        joints_state = jnp.where((got > 0) & window, place_dyn(gathered), joints_state)
+        tag_sum = jnp.where(
+            (got > 0) & tag_window, tag_sum + place_tags(gathered[:, 3:3 + E]), tag_sum
+        )
+        tag_cnt = tag_cnt + got
+
+        # ----- new persons for unmatched valid rows ---------------------------
+        matched_row = jnp.max(matchedf, axis=1, keepdims=True)  # [SUB,1]
+        new_rows = validf * (1.0 - matched_row)
+        slots = (count + cumsum_rows(new_rows) - 1.0).astype(jnp.int32)
+        sel = ((slots == lane_i) & (new_rows > 0) & (lane_i < P)).astype(jnp.float32)
+        gathered_n, got_n = gather(sel)
+        joints_state = jnp.where((got_n > 0) & window, place_dyn(gathered_n), joints_state)
+        tag_sum = jnp.where((got_n > 0) & tag_window, place_tags(gathered_n[:, 3:3 + E]), tag_sum)
+        tag_cnt = jnp.where(got_n > 0, 1.0, tag_cnt)
+        count = jnp.minimum(count + jnp.sum(new_rows).astype(jnp.int32), P)
+        return joints_state, tag_sum, tag_cnt, count
+
+    init = (
+        jnp.zeros((SUB, LANES), jnp.float32),  # joints_state [p, k*F+f]
+        jnp.zeros((SUB, LANES), jnp.float32),  # tag_sum [p, e]
+        jnp.zeros((SUB, 1), jnp.float32),  # tag_cnt
+        jnp.int32(0),  # count
+    )
+    joints_state, tag_sum, tag_cnt, count = jax.lax.fori_loop(0, K, step, init)
+
+    joints_ref[0] = joints_state[:P, : K * F]
+    count_ref[0] = jnp.broadcast_to(count, (1, LANES)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("det_thr", "tag_thr", "joints_order", "num_persons", "interpret"),
+)
+def match_by_tag_pallas(
+    cand_ordered: jnp.ndarray,
+    det_thr: float = 0.1,
+    tag_thr: float = 1.0,
+    joints_order: tuple = (),
+    num_persons: int | None = None,
+    interpret: bool = False,
+):
+    """Args:
+      cand_ordered: [B, K, M, F] candidates ALREADY permuted to processing
+        order along K (F = 3+E: x, y, score, tags...); joints_order[step]
+        gives the original joint id for output placement.
+
+    Returns:
+      joints [B, P, K, F] float32, count [B] int32.
+    """
+    b, k, m, f = cand_ordered.shape
+    e = f - 3
+    p = num_persons or m
+    assert m <= SUB and p <= VCOL and k * f <= LANES
+    assert len(joints_order) == k
+
+    if m < SUB:  # pad candidates to the sublane tile
+        cand_ordered = jnp.concatenate(
+            [cand_ordered, jnp.zeros((b, k, SUB - m, f), cand_ordered.dtype)], axis=2
+        )
+    order_arr = jnp.zeros((1, LANES), jnp.int32).at[0, :k].set(
+        jnp.asarray(joints_order, jnp.int32)
+    )
+
+    kernel = functools.partial(
+        _match_kernel, K=k, M=m, E=e, F=f, P=p, det_thr=det_thr, tag_thr=tag_thr
+    )
+    joints_flat, cnt = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, SUB, f), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, k * f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p, k * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order_arr, cand_ordered.astype(jnp.float32))
+    return joints_flat.reshape(b, p, k, f), cnt[:, 0, 0]

@@ -1,0 +1,97 @@
+"""Pallas grouping kernel vs the XLA lax.scan formulation (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_pose_tpu.ops import grouping
+from human_pose_tpu.ops.pallas_match import match_by_tag_pallas
+
+
+def synth_candidates(seed, k=17, m=12, e=1, n_persons=4):
+    """Candidate tensors like top_k would produce: scores descending, some
+    above threshold clustered by person tag."""
+    rng = np.random.RandomState(seed)
+    tags = rng.randn(k, m, e).astype(np.float32) * 0.05
+    coords = rng.randint(0, 100, (k, m, 2)).astype(np.int32)
+    scores = np.sort(rng.rand(k, m).astype(np.float32) * 0.04, axis=1)[:, ::-1]
+    for p in range(n_persons):
+        tag_val = rng.randn(e).astype(np.float32) * 4
+        for kk in range(k):
+            if rng.rand() < 0.2:
+                continue
+            slot = p  # top slots = real detections
+            scores[kk, slot] = 0.5 + 0.5 * rng.rand()
+            tags[kk, slot] = tag_val + rng.randn(e) * 0.02
+    # re-sort descending per joint like lax.top_k output
+    order = np.argsort(-scores, axis=1, kind="stable")
+    scores = np.take_along_axis(scores, order, axis=1)
+    tags = np.take_along_axis(tags, order[..., None], axis=1)
+    coords = np.take_along_axis(coords, order[..., None], axis=1)
+    return tags, coords, scores
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("e", [1, 2])
+def test_pallas_match_parity(seed, e):
+    k, m = 17, 12
+    tags, coords, scores = synth_candidates(seed, k=k, m=m, e=e)
+    det_thr, tag_thr = 0.1, 1.0
+
+    ref_joints, ref_valid = grouping.match_by_tag(
+        jnp.asarray(tags), jnp.asarray(coords), jnp.asarray(scores),
+        det_thr, tag_thr,
+    )
+    ref_joints = np.asarray(ref_joints)
+    ref_valid = np.asarray(ref_valid)
+
+    f = 3 + e
+    cand = np.concatenate(
+        [coords.astype(np.float32), scores[..., None], tags], axis=-1
+    )  # [K, M, F]
+    order = list(grouping.JOINTS_ORDER)
+    cand_ordered = cand[order][None]  # [1, K, M, F]
+    joints, count = match_by_tag_pallas(
+        jnp.asarray(cand_ordered), det_thr=det_thr, tag_thr=tag_thr,
+        joints_order=tuple(order), num_persons=m, interpret=True,
+    )
+    joints = np.asarray(joints[0])
+    count = int(count[0])
+
+    assert count == int(ref_valid.sum()), (count, int(ref_valid.sum()))
+    np.testing.assert_allclose(joints[:count], ref_joints[:count], atol=1e-4)
+
+
+def test_pallas_match_no_candidates():
+    k, m, e = 17, 8, 1
+    cand = np.zeros((1, k, m, 3 + e), np.float32)
+    joints, count = match_by_tag_pallas(
+        jnp.asarray(cand), det_thr=0.1, tag_thr=1.0,
+        joints_order=tuple(grouping.JOINTS_ORDER), num_persons=m, interpret=True,
+    )
+    assert int(count[0]) == 0
+
+
+def test_pallas_match_batched():
+    k, m, e = 17, 10, 1
+    scenes = [synth_candidates(s, k=k, m=m, e=e, n_persons=2 + s) for s in (5, 6)]
+    cands = []
+    for tags, coords, scores in scenes:
+        cand = np.concatenate(
+            [coords.astype(np.float32), scores[..., None], tags], axis=-1
+        )
+        cands.append(cand[list(grouping.JOINTS_ORDER)])
+    batch = jnp.asarray(np.stack(cands))
+    joints, count = match_by_tag_pallas(
+        batch, det_thr=0.1, tag_thr=1.0,
+        joints_order=tuple(grouping.JOINTS_ORDER), num_persons=m, interpret=True,
+    )
+    for b, (tags, coords, scores) in enumerate(scenes):
+        ref_joints, ref_valid = grouping.match_by_tag(
+            jnp.asarray(tags), jnp.asarray(coords), jnp.asarray(scores), 0.1, 1.0
+        )
+        c = int(count[b])
+        assert c == int(np.asarray(ref_valid).sum())
+        np.testing.assert_allclose(
+            np.asarray(joints[b][:c]), np.asarray(ref_joints)[:c], atol=1e-4
+        )
