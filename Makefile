@@ -1,0 +1,29 @@
+# Counterpart of the reference Makefile (env/dirs/data-prep/eval targets)
+.PHONY: dirs coco imagenet save_coco_annots test bench train_keypoints train_classification eval_coco
+
+dirs:
+	bash scripts/prepare_dirs.sh
+
+coco:
+	bash scripts/prepare_coco.sh
+
+imagenet:
+	bash scripts/prepare_imagenet.sh
+
+save_coco_annots:
+	python scripts/save_coco_annots.py
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+train_keypoints:
+	python -m human_pose_tpu.bin.train_keypoints --config=experiments/keypoints/higher_hrnet_32.yaml
+
+train_classification:
+	python -m human_pose_tpu.bin.train_classification --config=experiments/classification/hrnet_32.yaml
+
+eval_coco:
+	python -m human_pose_tpu.bin.eval_keypoints --config=experiments/keypoints/higher_hrnet_32.yaml

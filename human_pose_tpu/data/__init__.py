@@ -29,6 +29,9 @@ from .coco import (
 )
 from .imagenet import ImagenetClassificationDataset, collate_classification
 from .loader import DataLoader
+from .base import BaseImageDataset, DirectoryDataset, ExplorerDataset, InferenceDataset
+from .mpii import MpiiKeypointsDataset, MPII_LABELS, MPII_LIMBS, MPII_FLIP_INDEX
+from .video import InferenceVideoDataset, VideoProcessingResult
 
 __all__ = [
     "affine_transform_point",
@@ -60,4 +63,14 @@ __all__ = [
     "ImagenetClassificationDataset",
     "collate_classification",
     "DataLoader",
+    "BaseImageDataset",
+    "DirectoryDataset",
+    "ExplorerDataset",
+    "InferenceDataset",
+    "MpiiKeypointsDataset",
+    "MPII_LABELS",
+    "MPII_LIMBS",
+    "MPII_FLIP_INDEX",
+    "InferenceVideoDataset",
+    "VideoProcessingResult",
 ]

@@ -82,8 +82,9 @@ class InferenceKeypointsModel:
         self.model_input_shape: tuple | None = None
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
-    def _infer(self, variables, x, hw):
-        """Forward (+flip TTA) + aggregation + decode, one graph per shape."""
+    def _forward_scale(self, variables, x, hw):
+        """One multi-scale pass: forward (+flip), aggregate stages, resize to
+        the common decode size. Returns (avg_hms [N,H,W,K], tags list)."""
         stages_hms, tags = self.model.apply(variables, x, train=False)
         if self.use_flip:
             f_hms, f_tags = self.model.apply(variables, x[:, :, ::-1, :], train=False)
@@ -93,40 +94,69 @@ class InferenceKeypointsModel:
             tags_list = [tags, flip_back(f_tags)]
         else:
             tags_list = [tags]
+        avg = resize_bilinear(average_stages(stages_hms), *hw)
+        tags_resized = [resize_bilinear(t, *hw) for t in tags_list]
+        return avg, tags_resized
+
+    @functools.partial(jax.jit, static_argnames=("self", "hw", "n_scales"))
+    def _decode_aggregated(self, avg_sum, tags_list, hw, n_scales):
+        avg = avg_sum / n_scales
         joints, scores, valid = decode_batch(
-            stages_hms, tags_list, input_hw=hw,
+            [avg], tags_list, input_hw=hw,
             max_num_people=self.max_num_people,
             det_thr=self.det_thr, tag_thr=self.tag_thr,
         )
-        avg = resize_bilinear(average_stages(stages_hms), *hw)
-        tags_stacked = jnp.stack(
-            [resize_bilinear(t, *hw) for t in tags_list], axis=-1
-        )
+        tags_stacked = jnp.stack(tags_list, axis=-1)
         return joints, scores, valid, avg, tags_stacked
 
-    def prepare_input(self, image: np.ndarray):
-        resized, center, scale = resize_align_multi_scale(image, self.input_size, 1, 1)
+    def prepare_input(self, image: np.ndarray, current_scale: float = 1.0, min_scale: float = 1.0):
+        resized, center, scale = resize_align_multi_scale(
+            image, self.input_size, current_scale, min_scale
+        )
         x = normalize(resized)[None]
         return x, center, scale
 
-    def __call__(self, raw_image: np.ndarray, annot=None) -> InferenceKeypointsResult:
-        x, center, scale = self.prepare_input(raw_image)
-        h, w = x.shape[1:3]
-        self.model_input_shape = (h, w)
+    def __call__(
+        self, raw_image: np.ndarray, annot=None, scales=(1.0,)
+    ) -> InferenceKeypointsResult:
+        """Single- or multi-scale (e.g. scales=(0.5, 1, 2)) TTA inference.
+        Heatmaps are averaged across scales at the scale-1 decode size; tag
+        maps come from scale 1 (the HigherHRNet multi-scale protocol)."""
         dtype = getattr(self.model, "dtype", jnp.float32)
-        xj = jnp.asarray(x, dtype)
-        joints, scores, valid, avg, tags = self._infer(self.variables, xj, (h, w))
+        min_scale = min(scales)
+
+        # decode size / inverse-affine params come from the scale-1 pass
+        x1, center, scale_wh = self.prepare_input(raw_image, 1.0, min_scale)
+        h, w = x1.shape[1:3]
+        self.model_input_shape = (h, w)
+
+        avg_sum = None
+        tags_list = None
+        for s in sorted(scales, reverse=True):
+            if s == 1.0:
+                xs = x1
+            else:
+                xs, _, _ = self.prepare_input(raw_image, s, min_scale)
+            avg, tags_s = self._forward_scale(
+                self.variables, jnp.asarray(xs, dtype), (h, w)
+            )
+            avg_sum = avg if avg_sum is None else avg_sum + avg
+            if s == 1.0:
+                tags_list = tags_s
+        joints, scores, valid, avg, tags = self._decode_aggregated(
+            avg_sum, tags_list, (h, w), float(len(scales))
+        )
         return InferenceKeypointsResult.from_decoded(
             raw_image=raw_image,
             annot=annot,
-            model_input_image=inverse_normalize(x[0]),
+            model_input_image=inverse_normalize(np.asarray(x1[0], np.float32)),
             avg_heatmaps=np.asarray(avg[0]),
             tags_heatmaps=np.asarray(tags[0]),
             joints=joints[0],
             obj_scores=scores[0],
             valid=valid[0],
             center=center,
-            scale=scale,
+            scale=scale_wh,
             det_thr=self.det_thr,
             tag_thr=self.tag_thr,
             limbs=self.limbs,

@@ -1,5 +1,6 @@
 from .files import load_yaml, save_yaml, load_json, save_json
 from .utils import seed_everything, elapsed_timer, get_rank, is_main_process
+from .export import export_stablehlo, export_weights_npz
 
 __all__ = [
     "load_yaml",
@@ -10,4 +11,6 @@ __all__ = [
     "elapsed_timer",
     "get_rank",
     "is_main_process",
+    "export_stablehlo",
+    "export_weights_npz",
 ]
