@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import init_classification_weights, init_keypoints_weights
@@ -129,6 +130,22 @@ class BaseModule:
 class ClassificationModule(BaseModule):
     name = "classification"
 
+    def make_results(self, batch: dict, outputs, max_results: int = 8) -> list:
+        from ..inference.results import ClassificationResult
+
+        logits = np.asarray(outputs)
+        n = min(max_results, logits.shape[0])
+        e = np.exp(logits[:n] - logits[:n].max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        labels = [str(i) for i in range(logits.shape[-1])]
+        return [
+            ClassificationResult(
+                image=np.asarray(batch["images"][i]), probs=probs[i],
+                labels=labels, target=int(batch["labels"][i]),
+            )
+            for i in range(n)
+        ]
+
     @classmethod
     def create(cls, model, input_shape=(224, 224, 3), optimizers_cfg=None,
                lr_schedulers_cfg=None, seed=42, mesh=None, **kw):
@@ -178,6 +195,43 @@ class KeypointsModule(BaseModule):
         batch = self.batch_to_device(batch)
         metrics, outputs = keypoints_val_step(self.state, batch)
         return metrics, outputs
+
+    def make_results(self, batch: dict, outputs, max_results: int = 4) -> list:
+        """Decode one val batch into plottable results (the reference builds
+        KeypointsResult for one random batch per epoch, trainer.py:122-128;
+        val-time thresholds det 0.1 / tag 1.0, keypoints/module.py:95-99)."""
+        from ..inference.results import KeypointsResult
+        from ..ops.decode import decode_batch
+        from ..ops.heatmaps import average_stages, resize_bilinear
+
+        stages_hms, tags = outputs
+        n = min(max_results, stages_hms[0].shape[0])
+        stages_hms = [jnp.asarray(h[:n], jnp.float32) for h in stages_hms]
+        tags = jnp.asarray(tags[:n], jnp.float32)
+        h, w = batch["images"].shape[1:3]
+        joints, scores, valid = decode_batch(
+            stages_hms, [tags], input_hw=(h, w),
+            max_num_people=batch["joints"].shape[1], det_thr=0.1, tag_thr=1.0,
+        )
+        avg = resize_bilinear(average_stages(stages_hms), h, w)
+        tags_big = resize_bilinear(tags, h, w)
+        results = []
+        for i in range(n):
+            v = np.asarray(valid[i])
+            j = np.asarray(joints[i])
+            results.append(
+                KeypointsResult(
+                    model_input_image=np.asarray(batch["images"][i]),
+                    kpts_heatmaps=np.asarray(avg[i]),
+                    tags_heatmaps=np.asarray(tags_big[i]),
+                    kpts_coords=j[v][..., :2],
+                    kpts_scores=j[v][..., 2],
+                    kpts_tags=j[v][..., 3:],
+                    obj_scores=np.asarray(scores[i])[v],
+                    det_thr=0.1,
+                )
+            )
+        return results
 
 
 def metrics_to_host(metrics: dict) -> dict:

@@ -1,0 +1,114 @@
+"""CLI integration: COCO eval + keypoints inference (images/dir/video) wired
+end-to-end on the synthetic fixture with a tiny random-weight net."""
+
+import json
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+from tests.test_data import make_coco_fixture
+from human_pose_tpu.data import prebake_annotations
+
+TINY_NET = (
+    "--net.params.C=8 --net.params.num_blocks_per_stage=[1,1,1,1] "
+    "--net.params.num_units=1 --net.params.num_deconv_resid_blocks=1"
+).split()
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    root = tmp / "coco"
+    make_coco_fixture(root, n_images=2, size=96)
+    prebake_annotations(str(root), "val2017")
+    cfg = tmp / "cfg.yaml"
+    cfg.write_text(
+        f"""
+setup:
+  experiment_name: kp
+  architecture: HigherHRNet
+trainer:
+  accelerator: cpu
+  use_DDP: false
+dataloader:
+  batch_size: 2
+  num_workers: 1
+  train_ds: {{root: {root}, split: val2017, out_size: 64, max_num_people: 5}}
+  val_ds: {{root: {root}, split: val2017, out_size: 64, max_num_people: 5}}
+transform:
+  out_size: 64
+net:
+  params: {{num_kpts: 17}}
+inference:
+  input_size: 64
+  ckpt_path: null
+"""
+    )
+    return tmp, root, cfg
+
+
+def test_eval_keypoints_cli(env, monkeypatch):
+    tmp, root, cfg = env
+    monkeypatch.chdir(tmp)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval", f"--config={cfg}", "--limit=2"] + TINY_NET,
+    )
+    from human_pose_tpu.bin.eval_keypoints import main
+
+    main()
+    out_dirs = list((tmp / "evaluation_results").iterdir())
+    assert out_dirs
+    out = out_dirs[0]
+    dets = json.loads((out / "val2017_results.json").read_text())
+    assert isinstance(dets, list)
+    assert "Average Precision" in (out / "coco_output.txt").read_text()
+
+
+def test_inference_keypoints_cli_val_and_dir(env, monkeypatch):
+    tmp, root, cfg = env
+    monkeypatch.chdir(tmp)
+    monkeypatch.setattr(
+        sys, "argv", ["inf", f"--config={cfg}", "--mode=val"] + TINY_NET
+    )
+    from human_pose_tpu.bin.inference_keypoints import main
+
+    main()
+    assert list((tmp / "inference_results" / "val").glob("*_connections.jpg"))
+
+    # directory mode
+    monkeypatch.setattr(
+        sys, "argv",
+        ["inf", f"--config={cfg}", "--mode=custom",
+         f"--path={root}/images/val2017"] + TINY_NET,
+    )
+    main()
+    assert list((tmp / "inference_results" / "custom").glob("*_connections.jpg"))
+
+
+def test_inference_video_cli(env, monkeypatch):
+    tmp, root, cfg = env
+    monkeypatch.chdir(tmp)
+    video_path = tmp / "clip.mp4"
+    writer = cv2.VideoWriter(
+        str(video_path), cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (96, 96)
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        writer.write((rng.rand(96, 96, 3) * 255).astype(np.uint8))
+    writer.release()
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["inf", f"--config={cfg}", "--mode=custom", f"--path={video_path}"] + TINY_NET,
+    )
+    from human_pose_tpu.bin.inference_keypoints import main
+
+    main()
+    out = tmp / "inference_results" / "video" / "clip_out.mp4"
+    assert out.exists() and out.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    cap.release()
