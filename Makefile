@@ -1,5 +1,8 @@
 # Counterpart of the reference Makefile (env/dirs/data-prep/eval targets)
-.PHONY: dirs coco imagenet save_coco_annots test bench train_keypoints train_classification eval_coco
+.PHONY: dirs coco imagenet save_coco_annots test bench train_keypoints train_classification eval_coco native
+
+native:
+	cd native && python setup.py build_ext --inplace -q && cp hp_native*.so ../human_pose_tpu/data/
 
 dirs:
 	bash scripts/prepare_dirs.sh

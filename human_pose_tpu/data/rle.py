@@ -43,6 +43,10 @@ def decode_rle_counts_string(s: str | bytes) -> list[int]:
 
 def rle_to_mask(counts: list[int], h: int, w: int) -> np.ndarray:
     """Run lengths (column-major, starting with zeros) -> [h, w] uint8 mask."""
+    from .native import HAVE_NATIVE, rle_decode_native
+
+    if HAVE_NATIVE:
+        return rle_decode_native(counts, h, w)
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0

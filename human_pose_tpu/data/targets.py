@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .native import HAVE_NATIVE, splat_heatmaps_native
+
 
 class HeatmapGenerator:
     def __init__(self, num_kpts: int, size: int, sigma: float = 2.0):
@@ -33,6 +35,10 @@ class HeatmapGenerator:
 
     def __call__(self, joints: np.ndarray) -> np.ndarray:
         """joints: [num_people, K, 3] (x, y, vis). Returns [H, W, K] float32."""
+        if HAVE_NATIVE and len(joints):
+            return splat_heatmaps_native(
+                np.asarray(joints, np.int32), self.h, self.sigma
+            )
         hms = np.zeros((self.h, self.w, self.num_kpts), dtype=np.float32)
         s = self.sigma
         for person in joints:
