@@ -13,8 +13,6 @@ import time
 
 import psutil
 
-from ..train.storage import SystemMonitoringStorage
-
 
 def collect_sample() -> dict:
     vm = psutil.virtual_memory()
@@ -47,6 +45,9 @@ class SystemMetricsMonitor:
     """Daemon-thread sampler (reference monitoring/base.py:9-53)."""
 
     def __init__(self, interval_s: float = 10.0):
+        # lazy import: loggers <-> train would otherwise be circular
+        from ..train.storage import SystemMonitoringStorage
+
         self.interval_s = interval_s
         self.storage = SystemMonitoringStorage()
         self._stop = threading.Event()
@@ -56,6 +57,52 @@ class SystemMetricsMonitor:
         while not self._stop.wait(self.interval_s):
             try:
                 self.storage.append(collect_sample())
+            except Exception:
+                pass
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=1.0)
+            self._thread = None
+
+
+class TpuInfoMonitor:
+    """Periodic device-stats dump to a log file — the TPU analog of the
+    reference's NvidiaSmiMonitor (src/logger/monitoring/nvidia_smi.py:8-48):
+    per-device HBM in-use/peak/limit every ``interval_s`` seconds on rank 0."""
+
+    def __init__(self, filepath: str, interval_s: float = 5.0):
+        self.filepath = filepath
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _loop(self) -> None:
+        import jax
+
+        from pathlib import Path
+
+        Path(self.filepath).parent.mkdir(parents=True, exist_ok=True)
+        while not self._stop.wait(self.interval_s):
+            try:
+                lines = [time.strftime("%Y-%m-%d %H:%M:%S")]
+                for d in jax.local_devices():
+                    stats = d.memory_stats() or {}
+                    in_use = stats.get("bytes_in_use", 0) / 1e9
+                    peak = stats.get("peak_bytes_in_use", 0) / 1e9
+                    limit = stats.get("bytes_limit", 0) / 1e9
+                    lines.append(
+                        f"  {d.device_kind} #{d.id}: {in_use:.2f}/{limit:.2f} GB"
+                        f" (peak {peak:.2f} GB)"
+                    )
+                with open(self.filepath, "w") as f:
+                    f.write("\n".join(lines) + "\n")
             except Exception:
                 pass
 

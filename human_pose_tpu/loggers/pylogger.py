@@ -70,3 +70,41 @@ def capture_warnings(logger_name: str = "human_pose_tpu") -> None:
 
 
 log = get_pylogger()
+
+
+class logged_tqdm:
+    """tqdm wrapper that mirrors the progress line into the file logger by
+    rewriting on a fixed cadence (reference pylogger.py:141-164)."""
+
+    def __init__(self, iterable, logger: logging.Logger | None = None,
+                 every_n: int = 50, **tqdm_kwargs):
+        from tqdm.auto import tqdm
+
+        self.pbar = tqdm(iterable, **tqdm_kwargs)
+        self.logger = logger or log
+        self.every_n = every_n
+
+    def __iter__(self):
+        for i, item in enumerate(self.pbar):
+            if i % self.every_n == 0:
+                self.logger.info(str(self.pbar))
+            yield item
+
+    def set_postfix(self, *a, **kw):
+        self.pbar.set_postfix(*a, **kw)
+
+
+def log_breaking_point(msg: str, logger: logging.Logger | None = None,
+                       n_top: int = 1, n_bottom: int = 1, num_chars: int = 70) -> None:
+    """Rank-gated banner separating training phases
+    (reference pylogger.py:167-184)."""
+    from ..utils.utils import is_main_process
+
+    if not is_main_process():
+        return
+    lg = logger or log
+    for _ in range(n_top):
+        lg.info("=" * num_chars)
+    lg.info(msg.center(num_chars))
+    for _ in range(n_bottom):
+        lg.info("=" * num_chars)

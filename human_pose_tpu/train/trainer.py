@@ -97,6 +97,7 @@ class Trainer:
             self.callbacks.on_step_end(self)
             if self.current_step % self.log_every_n_steps == 0:
                 pbar.set_postfix({k: f"{v:.4g}" for k, v in metrics.items()})
+                self.logger.log_metrics(metrics, self.current_step, "step")
         return meters.to_dict()
 
     def evaluate(self, val_dl, split: str = "val") -> dict:
