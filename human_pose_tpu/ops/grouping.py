@@ -61,11 +61,12 @@ def nms(kpts_heatmaps: jnp.ndarray, pool_size: int = 5) -> jnp.ndarray:
     return jnp.where(pooled == kpts_heatmaps, kpts_heatmaps, 0.0)
 
 
-def _chunked_top_k(flat: jnp.ndarray, k_want: int, chunk: int = 16384):
+def _chunked_top_k(flat: jnp.ndarray, k_want: int, chunk: int = 512):
     """Exact top-k via chunking: each global winner is a top-k member of its
-    chunk, so top-k per chunk + top-k of the union is exact. Much cheaper than
-    one huge sort on TPU; indices are remapped to the flat space. Ties resolve
-    to the lowest flat index, like lax.top_k."""
+    chunk, so top-k per chunk + top-k of the union is exact. Indices are
+    remapped to the flat space; ties resolve to the lowest flat index, like
+    lax.top_k. (In situ this beats one big lax.top_k ~2x on v5e even though an
+    isolated microbenchmark says otherwise — fusion with the NMS producer.)"""
     r, n = flat.shape
     if n <= chunk * 2:
         return jax.lax.top_k(flat, k_want)
