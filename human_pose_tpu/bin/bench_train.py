@@ -21,7 +21,7 @@ import numpy as np
 
 
 def main() -> None:
-    batch, size, iters = 36, 512, 5
+    batch, size, iters, remat = 36, 512, 5, True
     for tok in sys.argv[1:]:
         if tok.startswith("--batch="):
             batch = int(tok.split("=")[1])
@@ -29,13 +29,15 @@ def main() -> None:
             size = int(tok.split("=")[1])
         if tok.startswith("--iters="):
             iters = int(tok.split("=")[1])
+        if tok.startswith("--remat="):
+            remat = tok.split("=")[1].lower() == "true"
 
     from human_pose_tpu.models import HigherHRNet
     from human_pose_tpu.parallel import make_mesh, replicate, shard_batch
     from human_pose_tpu.train import TrainState, create_optimizer
     from human_pose_tpu.train.steps import keypoints_train_step
 
-    model = HigherHRNet(num_kpts=17, C=32, dtype=jnp.bfloat16)
+    model = HigherHRNet(num_kpts=17, C=32, remat=remat, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
     tx = create_optimizer("Adam", lr=1e-3)

@@ -65,6 +65,7 @@ class ClassificationHRNet(nn.Module):
     num_classes: int = 1000
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +73,7 @@ class ClassificationHRNet(nn.Module):
         xs = HRNetBackbone(
             self.C, final_stage_single_scale=False,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            dtype=self.dtype, name="backbone",
+            remat=self.remat, dtype=self.dtype, name="backbone",
         )(images, train)
         return ClassificationHead(self.C, self.num_classes, dtype=self.dtype, name="head")(
             xs, train

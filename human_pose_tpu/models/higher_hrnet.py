@@ -62,6 +62,7 @@ class HigherHRNet(nn.Module):
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
     num_deconv_resid_blocks: int = 4
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +70,7 @@ class HigherHRNet(nn.Module):
         feats = HRNetBackbone(
             self.C, final_stage_single_scale=True,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            dtype=self.dtype, name="backbone",
+            remat=self.remat, dtype=self.dtype, name="backbone",
         )(images, train)[0]
 
         init_heatmaps = nn.Conv(

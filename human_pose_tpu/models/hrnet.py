@@ -287,6 +287,10 @@ class HRNetBackbone(nn.Module):
     # (useful for tests and ablations); the scale topology is unchanged.
     num_blocks_per_stage: Sequence[int] = (1, 1, 4, 3)
     num_units: int = 4
+    # rematerialize each stage on the backward pass: trades ~25% step time for
+    # storing activations only at stage boundaries (jax.checkpoint), enabling
+    # the reference's bs-36 @512 training shape within v5e HBM
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -306,9 +310,14 @@ class HRNetBackbone(nn.Module):
             (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
             (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
         ]
+        StageCls = (
+            nn.remat(HighResolutionStage, static_argnums=(2,))
+            if self.remat
+            else HighResolutionStage
+        )
         xs = x
         for s, (nb, nu, bt, in_ch, out_ch) in enumerate(config):
-            xs = HighResolutionStage(
+            xs = StageCls(
                 nb, nu, bt, in_ch, out_ch,
                 is_final_stage=s == len(config) - 1,
                 is_first_stage=s == 0,

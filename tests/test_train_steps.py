@@ -142,3 +142,27 @@ def test_lr_schedulers():
     r.step(1.0)  # bad 1
     r.step(1.0)  # bad 2 -> reduce
     assert abs(r.lr - 0.5) < 1e-9
+
+
+def test_keypoints_train_step_with_remat():
+    """remat=True must produce the same loss and valid grads (activations
+    recomputed on backward)."""
+    import jax
+
+    rng = jax.random.PRNGKey(3)
+    from human_pose_tpu.models import HigherHRNet
+    from human_pose_tpu.train import TrainState, create_optimizer
+    from human_pose_tpu.train.steps import keypoints_train_step
+
+    batch = make_kpts_batch(np.random.RandomState(1), n=2, size=64)
+    losses = {}
+    for remat in (False, True):
+        model = HigherHRNet(num_kpts=17, C=8, num_deconv_resid_blocks=1,
+                            remat=remat, **TINY)
+        variables = model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = create_optimizer("Adam", lr=1e-3)
+        state = TrainState.create(model.apply, variables["params"],
+                                  variables["batch_stats"], tx)
+        state, metrics = keypoints_train_step(state, batch, 1e-3)
+        losses[remat] = float(metrics["loss"])
+    assert abs(losses[True] - losses[False]) < 1e-4
