@@ -71,7 +71,16 @@ class InferenceKeypointsModel:
         use_flip: bool = False,
         input_size: int = 512,
         max_num_people: int = 30,
+        pad_multiple: int = 64,
     ):
+        """``pad_multiple`` > 64 buckets the 64-aligned input shapes into
+        coarser shape classes by zero-padding bottom/right (the decode masks
+        the pad region), trading a little wasted compute for far fewer jit
+        recompilations over a varied-shape eval set. APPROXIMATE: zero input
+        padding alters activations within a receptive field of the pad edge
+        (the network sees pad pixels instead of SAME-conv zero activations),
+        so boundary detections can shift slightly vs the exact 64-aligned
+        path; default 64 = exact reference behavior."""
         self.model = model
         self.variables = variables
         self.det_thr = det_thr
@@ -79,6 +88,7 @@ class InferenceKeypointsModel:
         self.use_flip = use_flip
         self.input_size = input_size
         self.max_num_people = max_num_people
+        self.pad_multiple = pad_multiple
         self.model_input_shape: tuple | None = None
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
@@ -98,9 +108,16 @@ class InferenceKeypointsModel:
         tags_resized = [resize_bilinear(t, *hw) for t in tags_list]
         return avg, tags_resized
 
-    @functools.partial(jax.jit, static_argnames=("self", "hw", "n_scales"))
-    def _decode_aggregated(self, avg_sum, tags_list, hw, n_scales):
+    @functools.partial(jax.jit, static_argnames=("self", "hw", "n_scales", "valid_hw"))
+    def _decode_aggregated(self, avg_sum, tags_list, hw, n_scales, valid_hw=None):
         avg = avg_sum / n_scales
+        if valid_hw is not None and valid_hw != hw:
+            # shape-bucketing padding: suppress detections in the pad region
+            vh, vw = valid_hw
+            yy = jnp.arange(hw[0])[None, :, None, None]
+            xx = jnp.arange(hw[1])[None, None, :, None]
+            inside = (yy < vh) & (xx < vw)
+            avg = jnp.where(inside, avg, -1e4)
         joints, scores, valid = decode_batch(
             [avg], tags_list, input_hw=hw,
             max_num_people=self.max_num_people,
@@ -114,6 +131,11 @@ class InferenceKeypointsModel:
             image, self.input_size, current_scale, min_scale
         )
         x = normalize(resized)[None]
+        if self.pad_multiple > 64:
+            m = self.pad_multiple
+            h, w = x.shape[1:3]
+            ph, pw = -(-h // m) * m, -(-w // m) * m
+            x = np.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         return x, center, scale
 
     def __call__(
@@ -125,8 +147,13 @@ class InferenceKeypointsModel:
         dtype = getattr(self.model, "dtype", jnp.float32)
         min_scale = min(scales)
 
-        # decode size / inverse-affine params come from the scale-1 pass
-        x1, center, scale_wh = self.prepare_input(raw_image, 1.0, min_scale)
+        # decode size / inverse-affine params come from the scale-1 pass;
+        # valid_hw is the pre-bucketing 64-aligned size (pad region masked)
+        resized1, center, scale_wh = resize_align_multi_scale(
+            raw_image, self.input_size, 1.0, min_scale
+        )
+        valid_hw = resized1.shape[:2]
+        x1, _, _ = self.prepare_input(raw_image, 1.0, min_scale)
         h, w = x1.shape[1:3]
         self.model_input_shape = (h, w)
 
@@ -144,14 +171,15 @@ class InferenceKeypointsModel:
             if s == 1.0:
                 tags_list = tags_s
         joints, scores, valid, avg, tags = self._decode_aggregated(
-            avg_sum, tags_list, (h, w), float(len(scales))
+            avg_sum, tags_list, (h, w), float(len(scales)), valid_hw=tuple(valid_hw)
         )
+        vh, vw = valid_hw
         return InferenceKeypointsResult.from_decoded(
             raw_image=raw_image,
             annot=annot,
-            model_input_image=inverse_normalize(np.asarray(x1[0], np.float32)),
-            avg_heatmaps=np.asarray(avg[0]),
-            tags_heatmaps=np.asarray(tags[0]),
+            model_input_image=inverse_normalize(np.asarray(x1[0, :vh, :vw], np.float32)),
+            avg_heatmaps=np.asarray(avg[0, :vh, :vw]),
+            tags_heatmaps=np.asarray(tags[0, :vh, :vw]),
             joints=joints[0],
             obj_scores=scores[0],
             valid=valid[0],

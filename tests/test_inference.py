@@ -74,3 +74,28 @@ def test_export(tmp_path, kpts_model):
     assert len(loaded.files) > 50
     export_stablehlo(model, variables, (64, 64, 3), tmp_path / "model.stablehlo")
     assert (tmp_path / "model.stablehlo").stat().st_size > 1000
+
+
+def test_pad_multiple_bucketing(kpts_model):
+    """Shape-bucketing padding: padded shape is bucketed, the decode never
+    places detections inside the pad region, and the back-projection uses the
+    valid (unpadded) geometry. (Exact equality with the unpadded path is NOT
+    expected: zero input padding perturbs activations near the pad edge —
+    see InferenceKeypointsModel docstring.)"""
+    model, variables = kpts_model
+    raw = (np.random.RandomState(5).rand(150, 260, 3) * 255).astype(np.uint8)
+    padded = InferenceKeypointsModel(
+        model, variables, input_size=128, max_num_people=5, pad_multiple=256
+    )
+    r1 = padded(raw)
+    assert padded.model_input_shape[0] % 256 == 0
+    assert padded.model_input_shape[1] % 256 == 0
+    # cropped plots/back-projection use the valid region
+    assert r1.model_input_image.shape[0] % 64 == 0
+    assert r1.model_input_image.shape[:2] != padded.model_input_shape
+    # all detections land inside the raw image bounds (pad region suppressed)
+    if len(r1.kpts_coords):
+        h, w = raw.shape[:2]
+        sc = r1.kpts_scores > 0.1
+        assert (r1.kpts_coords[sc][:, 0] <= w * 1.2).all()
+        assert (r1.kpts_coords[sc][:, 1] <= h * 1.2).all()
