@@ -10,8 +10,9 @@ Re-implements the behavior of the reference MPPEHeatmapParser
   ``round(dist)*100 - score`` (grouping.py:116-122), 1e10 column padding,
   Hungarian assignment (in-JAX, replacing the Python Munkres loop), the
   ``tag_thr`` gate on raw distances, and new-person creation for unmatched
-  detections — expressed as a ``lax.scan`` over joints with fixed-size person
-  slots instead of Python dicts.
+  detections — fixed-size person slots instead of Python dicts; the
+  sequential joint loop runs as a lax.scan (XLA path) or entirely in-VMEM via
+  the Pallas kernel in ops/pallas_match.py (TPU path, exact same results).
 * ``adjust``       — quarter-pixel offset toward the higher neighbor plus a
   0.5 center shift (grouping.py:172-191)
 * ``refine``       — per-person recovery of missing joints by maximizing
@@ -20,9 +21,8 @@ Re-implements the behavior of the reference MPPEHeatmapParser
   (grouping.py:252-283); person score = mean joint score before refine.
 
 Everything is float32 with static shapes [P, K, 3+E]; batch decoding is
-``jax.vmap(parse)``. The heavy per-pixel work (NMS, top-k, refine distance
-maps) runs on the VPU; the sequential scan is tiny (17 steps over 30x30
-matrices).
+``parse_batch`` (batch on the Pallas grid on TPU). The heavy per-pixel work
+(NMS, top-k, refine distance maps) runs on the VPU/MXU.
 """
 
 from __future__ import annotations

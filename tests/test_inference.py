@@ -99,3 +99,16 @@ def test_pad_multiple_bucketing(kpts_model):
         sc = r1.kpts_scores > 0.1
         assert (r1.kpts_coords[sc][:, 0] <= w * 1.2).all()
         assert (r1.kpts_coords[sc][:, 1] <= h * 1.2).all()
+
+
+def test_model_cost_and_param_table(kpts_model):
+    from human_pose_tpu.utils import count_params, model_cost, param_table
+
+    model, variables = kpts_model
+    assert count_params(variables["params"]) > 10_000
+    table = param_table(variables["params"])
+    assert "TOTAL" in table and "backbone" in table
+    cost = model_cost(model, (64, 64, 3))
+    assert cost["flops"] > 1e6
+    assert cost["bytes_accessed"] > 1e5
+    assert cost["params"] == count_params(variables["params"])
