@@ -34,6 +34,13 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available ({devices}); a "
+                "silently truncated mesh would not exercise the requested "
+                "sharding"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -10,6 +10,30 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_fresh_process():
+    """Run dryrun_multichip(8) exactly like the driver does: a fresh python
+    process with NO conftest platform forcing — the entry point itself must
+    force the CPU platform (round-1 failure mode: eager dispatch to the
+    tunneled TPU)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=570,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "mesh_devices=8" in proc.stdout
+    assert "platform=cpu" in proc.stdout
+
+
 def test_entry_traces():
     import __graft_entry__
 
