@@ -189,6 +189,23 @@ class BaseConfig:
 
         return make_mesh()
 
+    def bn_groups(self, mesh=None) -> int:
+        """BatchNorm statistics scope for training (see models/norm.py).
+
+        Reference default = per-device stats (src/base/model.py:42-44) ->
+        groups = data-mesh size; ``trainer.sync_batchnorm: true`` -> global
+        batch moments -> 1 group. On a single device both coincide.
+        """
+        if self.trainer.sync_batchnorm:
+            return 1
+        if mesh is not None:
+            return int(mesh.devices.size)
+        if self.trainer.use_DDP:
+            import jax
+
+            return jax.device_count()
+        return 1
+
     # -- factories (overridden per task) ------------------------------------------
     def create_net(self):
         raise NotImplementedError

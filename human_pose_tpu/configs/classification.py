@@ -25,7 +25,7 @@ class ClassificationConfig(BaseConfig):
         default_factory=ClassificationTransformConfig
     )
 
-    def create_net(self):
+    def create_net(self, bn_groups: int = 1):
         import jax.numpy as jnp
 
         from ..models import ClassificationHRNet
@@ -35,7 +35,7 @@ class ClassificationConfig(BaseConfig):
             for k, v in dict(self.net.params).items()
         }
         dtype = jnp.bfloat16 if self.trainer.accelerator == "tpu" else jnp.float32
-        return ClassificationHRNet(**params, dtype=dtype)
+        return ClassificationHRNet(**params, bn_groups=bn_groups, dtype=dtype)
 
     def create_datamodule(self):
         import jax
@@ -73,7 +73,7 @@ class ClassificationConfig(BaseConfig):
     def create_module(self, mesh=None):
         from ..train.module import ClassificationModule
 
-        model = self.create_net()
+        model = self.create_net(bn_groups=self.bn_groups(mesh))
         size = self._out_size()
         return ClassificationModule.create(
             model,

@@ -29,7 +29,7 @@ class KeypointsTransformConfig(TransformConfig):
 class KeypointsConfig(BaseConfig):
     transform: KeypointsTransformConfig = field(default_factory=KeypointsTransformConfig)
 
-    def create_net(self):
+    def create_net(self, bn_groups: int = 1):
         import jax.numpy as jnp
 
         arch = self.setup.architecture or "HigherHRNet"
@@ -41,13 +41,14 @@ class KeypointsConfig(BaseConfig):
         if arch == "HigherHRNet":
             from ..models import HigherHRNet
 
-            return HigherHRNet(**params, dtype=dtype)
+            return HigherHRNet(**params, bn_groups=bn_groups, dtype=dtype)
         if arch == "Hourglass":
             from ..models.hourglass import AEHourglassNet
 
             return AEHourglassNet(
                 num_kpts=params.get("num_kpts", 17),
                 num_stages=params.get("num_stages", 2),
+                bn_groups=bn_groups,
                 dtype=dtype,
             )
         if arch == "SimpleBaseline":
@@ -56,13 +57,14 @@ class KeypointsConfig(BaseConfig):
             return SimpleBaseline(
                 num_kpts=params.get("num_kpts", 17),
                 backbone=params.get("backbone", "resnet50"),
+                bn_groups=bn_groups,
                 dtype=dtype,
             )
         if arch == "HRNet":
             from ..models import HRNetSPPE
 
             params["num_keypoints"] = params.pop("num_kpts", 17)
-            return HRNetSPPE(**params, dtype=dtype)
+            return HRNetSPPE(**params, bn_groups=bn_groups, dtype=dtype)
         raise ValueError(f"unknown keypoints architecture {arch!r} (expected one of {ARCHITECTURES})")
 
     def _make_transform(self) -> KeypointsTransform:
@@ -117,7 +119,7 @@ class KeypointsConfig(BaseConfig):
     def create_module(self, mesh=None):
         from ..train.module import KeypointsModule
 
-        model = self.create_net()
+        model = self.create_net(bn_groups=self.bn_groups(mesh))
         size = self.transform.out_size
         return KeypointsModule.create(
             model,

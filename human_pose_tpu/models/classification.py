@@ -15,7 +15,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BN_EPS, BN_MOMENTUM, Bottleneck, HRNetBackbone
+from .hrnet import Bottleneck, HRNetBackbone
+from .norm import batch_norm
 
 Dtype = Any
 
@@ -23,34 +24,32 @@ Dtype = Any
 class ClassificationHead(nn.Module):
     C: int
     num_classes: int = 1000
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: list, train: bool) -> jnp.ndarray:
         out_channels = [128, 256, 512, 1024]
         num_stages = len(out_channels)
+        g = self.bn_groups
 
-        out = Bottleneck(out_channels[0], dtype=self.dtype, name="incr0")(xs[0], train)
+        out = Bottleneck(out_channels[0], bn_groups=g, dtype=self.dtype, name="incr0")(xs[0], train)
         for i in range(num_stages - 1):
             # downsample block uses a biased conv in the reference (hrnet.py:20-31)
             down = nn.Conv(
                 out_channels[i + 1], (3, 3), strides=(2, 2), padding=1, use_bias=True,
                 dtype=self.dtype, name=f"down{i}_conv",
             )(out)
-            down = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                dtype=self.dtype, name=f"down{i}_bn",
-            )(down)
+            down = batch_norm(
+                down, train=train, bn_groups=g, dtype=self.dtype, name=f"down{i}_bn"
+            )
             down = nn.relu(down)
-            out = Bottleneck(out_channels[i + 1], dtype=self.dtype, name=f"incr{i + 1}")(
+            out = Bottleneck(out_channels[i + 1], bn_groups=g, dtype=self.dtype, name=f"incr{i + 1}")(
                 xs[i + 1], train
             ) + down
 
         out = nn.Conv(2048, (1, 1), use_bias=True, dtype=self.dtype, name="final_conv")(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, name="final_bn",
-        )(out)
+        out = batch_norm(out, train=train, bn_groups=g, dtype=self.dtype, name="final_bn")
         out = nn.relu(out)
 
         flat = jnp.mean(out, axis=(1, 2))  # global average pool (NHWC)
@@ -66,6 +65,7 @@ class ClassificationHRNet(nn.Module):
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
     remat: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,8 +73,8 @@ class ClassificationHRNet(nn.Module):
         xs = HRNetBackbone(
             self.C, final_stage_single_scale=False,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            remat=self.remat, dtype=self.dtype, name="backbone",
+            remat=self.remat, bn_groups=self.bn_groups, dtype=self.dtype, name="backbone",
         )(images, train)
-        return ClassificationHead(self.C, self.num_classes, dtype=self.dtype, name="head")(
-            xs, train
-        )
+        return ClassificationHead(
+            self.C, self.num_classes, bn_groups=self.bn_groups, dtype=self.dtype, name="head"
+        )(xs, train)

@@ -8,7 +8,7 @@ from typing import Any, Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BN_EPS, BN_MOMENTUM
+from .norm import batch_norm
 
 Dtype = Any
 
@@ -19,6 +19,7 @@ class ConvBnAct(nn.Module):
     stride: int = 1
     activation: Callable | None = nn.relu
     use_bias: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -28,10 +29,9 @@ class ConvBnAct(nn.Module):
             self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
             padding=pad, use_bias=self.use_bias, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, name="bn",
-        )(x)
+        x = batch_norm(
+            x, train=train, bn_groups=self.bn_groups, dtype=self.dtype, name="bn"
+        )
         if self.activation is not None:
             x = self.activation(x)
         return x

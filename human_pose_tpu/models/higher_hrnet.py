@@ -22,7 +22,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BN_EPS, BN_MOMENTUM, BasicBlock, HRNetBackbone
+from .hrnet import BasicBlock, HRNetBackbone
+from .norm import batch_norm
 
 Dtype = Any
 
@@ -34,6 +35,7 @@ class DeconvHeatmapsHead(nn.Module):
     features: int
     num_kpts: int
     num_resid_blocks: int = 4
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,13 +44,14 @@ class DeconvHeatmapsHead(nn.Module):
             self.features, (4, 4), strides=(2, 2), padding="SAME", use_bias=False,
             dtype=self.dtype, name="deconv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, name="deconv_bn",
-        )(x)
+        x = batch_norm(
+            x, train=train, bn_groups=self.bn_groups, dtype=self.dtype, name="deconv_bn"
+        )
         x = nn.relu(x)
         for i in range(self.num_resid_blocks):
-            x = BasicBlock(self.features, dtype=self.dtype, name=f"resid{i}")(x, train)
+            x = BasicBlock(
+                self.features, bn_groups=self.bn_groups, dtype=self.dtype, name=f"resid{i}"
+            )(x, train)
         heatmaps = nn.Conv(self.num_kpts, (1, 1), dtype=self.dtype, name="final_conv")(x)
         return x, heatmaps
 
@@ -63,6 +66,7 @@ class HigherHRNet(nn.Module):
     num_units: int = 4
     num_deconv_resid_blocks: int = 4
     remat: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +74,7 @@ class HigherHRNet(nn.Module):
         feats = HRNetBackbone(
             self.C, final_stage_single_scale=True,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            remat=self.remat, dtype=self.dtype, name="backbone",
+            remat=self.remat, bn_groups=self.bn_groups, dtype=self.dtype, name="backbone",
         )(images, train)[0]
 
         init_heatmaps = nn.Conv(
@@ -80,7 +84,7 @@ class HigherHRNet(nn.Module):
         deconv_in = jnp.concatenate([feats, init_heatmaps], axis=-1)
         _, deconv_heatmaps = DeconvHeatmapsHead(
             self.C, self.num_kpts, num_resid_blocks=self.num_deconv_resid_blocks,
-            dtype=self.dtype, name="deconv0",
+            bn_groups=self.bn_groups, dtype=self.dtype, name="deconv0",
         )(deconv_in, train)
 
         kpts_heatmaps = [

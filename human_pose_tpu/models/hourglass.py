@@ -24,19 +24,20 @@ class ResidualModule(nn.Module):
     (reference hourglass.py:6-28)."""
 
     mid: int
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
     expansion: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_ch = self.mid * self.expansion
-        out = ConvBnAct(self.mid, 1, dtype=self.dtype, name="cba1")(x, train)
-        out = ConvBnAct(self.mid, 3, dtype=self.dtype, name="cba2")(out, train)
-        out = ConvBnAct(out_ch, 1, activation=None, dtype=self.dtype, name="cba3")(out, train)
+        out = ConvBnAct(self.mid, 1, bn_groups=self.bn_groups, dtype=self.dtype, name="cba1")(x, train)
+        out = ConvBnAct(self.mid, 3, bn_groups=self.bn_groups, dtype=self.dtype, name="cba2")(out, train)
+        out = ConvBnAct(out_ch, 1, activation=None, bn_groups=self.bn_groups, dtype=self.dtype, name="cba3")(out, train)
         if x.shape[-1] == out_ch:
             residual = x
         else:
-            residual = ConvBnAct(out_ch, 1, activation=None, dtype=self.dtype, name="proj")(
+            residual = ConvBnAct(out_ch, 1, activation=None, bn_groups=self.bn_groups, dtype=self.dtype, name="proj")(
                 x, train
             )
         return nn.relu(out + residual)
@@ -47,6 +48,7 @@ class HourglassModule(nn.Module):
 
     num_blocks: int = 4
     mid: int = 128
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -54,13 +56,13 @@ class HourglassModule(nn.Module):
         residuals = []
         for i in range(self.num_blocks):
             residuals.append(
-                ResidualModule(self.mid, dtype=self.dtype, name=f"res{i}")(x, train)
+                ResidualModule(self.mid, bn_groups=self.bn_groups, dtype=self.dtype, name=f"res{i}")(x, train)
             )
             x = max_pool_2x2(x)
-            x = ResidualModule(self.mid, dtype=self.dtype, name=f"down{i}")(x, train)
-        x = ResidualModule(self.mid, dtype=self.dtype, name="mid")(x, train)
+            x = ResidualModule(self.mid, bn_groups=self.bn_groups, dtype=self.dtype, name=f"down{i}")(x, train)
+        x = ResidualModule(self.mid, bn_groups=self.bn_groups, dtype=self.dtype, name="mid")(x, train)
         for i in range(self.num_blocks):
-            x = ResidualModule(self.mid, dtype=self.dtype, name=f"up{i}")(x, train)
+            x = ResidualModule(self.mid, bn_groups=self.bn_groups, dtype=self.dtype, name=f"up{i}")(x, train)
             x = upsample_nearest_2x(x)
             x = x + residuals[-(i + 1)]
         return x
@@ -73,13 +75,14 @@ class _HourglassStageHead(nn.Module):
     mid: int
     num_kpts: int
     with_tags: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hg_out, train: bool):
         c = hg_out.shape[-1]
-        feats = ResidualModule(self.mid, dtype=self.dtype, name="res")(hg_out, train)
-        feats = ConvBnAct(c, 1, dtype=self.dtype, name="cba")(feats, train)
+        feats = ResidualModule(self.mid, bn_groups=self.bn_groups, dtype=self.dtype, name="res")(hg_out, train)
+        feats = ConvBnAct(c, 1, bn_groups=self.bn_groups, dtype=self.dtype, name="cba")(feats, train)
         heatmaps = nn.Conv(self.num_kpts, (1, 1), dtype=self.dtype, name="heatmaps")(feats)
         remap_feats = nn.Conv(c, (1, 1), dtype=self.dtype, name="remap_feats")(feats)
         remap_hms = nn.Conv(c, (1, 1), dtype=self.dtype, name="remap_heatmaps")(heatmaps)
@@ -93,22 +96,23 @@ class _BaseHourglassNet(nn.Module):
     num_kpts: int = 17
     num_stages: int = 2
     with_tags: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        x = ConvBnAct(64, 7, stride=2, dtype=self.dtype, name="stem")(images, train)
-        x = ResidualModule(64, dtype=self.dtype, name="layer0")(x, train)  # -> 128
+        x = ConvBnAct(64, 7, stride=2, bn_groups=self.bn_groups, dtype=self.dtype, name="stem")(images, train)
+        x = ResidualModule(64, bn_groups=self.bn_groups, dtype=self.dtype, name="layer0")(x, train)  # -> 128
         x = max_pool_2x2(x)
-        x = ResidualModule(128, dtype=self.dtype, name="layer1")(x, train)  # -> 256
-        x = ResidualModule(128, dtype=self.dtype, name="layer2")(x, train)  # -> 256
+        x = ResidualModule(128, bn_groups=self.bn_groups, dtype=self.dtype, name="layer1")(x, train)  # -> 256
+        x = ResidualModule(128, bn_groups=self.bn_groups, dtype=self.dtype, name="layer2")(x, train)  # -> 256
 
         stages_hms, stages_tags = [], []
         for i in range(self.num_stages):
             residual = x
-            hg = HourglassModule(4, 128, dtype=self.dtype, name=f"hg{i}")(x, train)
+            hg = HourglassModule(4, 128, bn_groups=self.bn_groups, dtype=self.dtype, name=f"hg{i}")(x, train)
             remap_feats, hms, tags, remap_hms = _HourglassStageHead(
-                128, self.num_kpts, self.with_tags, dtype=self.dtype, name=f"head{i}"
+                128, self.num_kpts, self.with_tags, bn_groups=self.bn_groups, dtype=self.dtype, name=f"head{i}"
             )(hg, train)
             stages_hms.append(jnp.asarray(hms, jnp.float32))
             if tags is not None:
@@ -122,12 +126,13 @@ class HourglassNet(nn.Module):
 
     num_kpts: int = 17
     num_stages: int = 2
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         hms, _ = _BaseHourglassNet(
-            self.num_kpts, self.num_stages, with_tags=False, dtype=self.dtype,
+            self.num_kpts, self.num_stages, with_tags=False, bn_groups=self.bn_groups, dtype=self.dtype,
             name="trunk",
         )(images, train)
         return hms
@@ -140,12 +145,13 @@ class AEHourglassNet(nn.Module):
 
     num_kpts: int = 17
     num_stages: int = 2
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         hms, tags = _BaseHourglassNet(
-            self.num_kpts, self.num_stages, with_tags=True, dtype=self.dtype,
+            self.num_kpts, self.num_stages, with_tags=True, bn_groups=self.bn_groups, dtype=self.dtype,
             name="trunk",
         )(images, train)
         return hms, tags[-1]

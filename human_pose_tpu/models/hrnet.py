@@ -29,21 +29,24 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-Dtype = Any
+from .norm import BN_EPS, BN_MOMENTUM, batch_norm
 
-# BatchNorm settings matching torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)
-BN_MOMENTUM = 0.9
-BN_EPS = 1e-5
+Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """3x3/1x1 conv (no bias) + BatchNorm [+ optional ReLU]."""
+    """3x3/1x1 conv (no bias) + BatchNorm [+ optional ReLU].
+
+    ``bn_groups`` selects the BN statistics scope (see models.norm): 1 =
+    global batch (synced), mesh-data-size = per-device (reference default).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     relu: bool = False
     use_bias: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -58,13 +61,9 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        x = batch_norm(
+            x, train=train, bn_groups=self.bn_groups, dtype=self.dtype, name="bn"
+        )
         if self.relu:
             x = nn.relu(x)
         return x
@@ -75,22 +74,24 @@ class Bottleneck(nn.Module):
 
     features: int  # output channels
     stride: int = 1
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool):
         mid = self.features // self.expansion
+        g = self.bn_groups
         residual = x
-        out = ConvBN(mid, kernel=1, relu=True, dtype=self.dtype, name="cb1")(x, train)
-        out = ConvBN(mid, kernel=3, stride=self.stride, relu=True, dtype=self.dtype, name="cb2")(
+        out = ConvBN(mid, kernel=1, relu=True, bn_groups=g, dtype=self.dtype, name="cb1")(x, train)
+        out = ConvBN(mid, kernel=3, stride=self.stride, relu=True, bn_groups=g, dtype=self.dtype, name="cb2")(
             out, train
         )
-        out = ConvBN(self.features, kernel=1, relu=False, dtype=self.dtype, name="cb3")(out, train)
+        out = ConvBN(self.features, kernel=1, relu=False, bn_groups=g, dtype=self.dtype, name="cb3")(out, train)
         if x.shape[-1] != self.features:
             residual = ConvBN(
-                self.features, kernel=1, stride=self.stride, relu=False, dtype=self.dtype,
-                name="downsample",
+                self.features, kernel=1, stride=self.stride, relu=False, bn_groups=g,
+                dtype=self.dtype, name="downsample",
             )(x, train)
         return nn.relu(out + residual)
 
@@ -100,22 +101,24 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        g = self.bn_groups
         residual = x
-        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=True, dtype=self.dtype, name="cb1")(
+        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=True, bn_groups=g, dtype=self.dtype, name="cb1")(
             x, train
         )
-        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=False, dtype=self.dtype, name="cb2")(
+        out = ConvBN(self.features, kernel=3, stride=self.stride, relu=False, bn_groups=g, dtype=self.dtype, name="cb2")(
             out, train
         )
         if x.shape[-1] != self.features:
             residual = ConvBN(
-                self.features, kernel=1, stride=self.stride, relu=False, dtype=self.dtype,
-                name="downsample",
+                self.features, kernel=1, stride=self.stride, relu=False, bn_groups=g,
+                dtype=self.dtype, name="downsample",
             )(x, train)
         return nn.relu(out + residual)
 
@@ -129,6 +132,7 @@ class HighResolutionBlock(nn.Module):
     num_units: int
     block_type: str  # "bottleneck" | "basic"
     out_channels: Sequence[int]  # per-scale output channels (in * expansion)
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -137,9 +141,10 @@ class HighResolutionBlock(nn.Module):
         outs = []
         for i, x in enumerate(xs):
             for j in range(self.num_units):
-                x = Block(self.out_channels[i], dtype=self.dtype, name=f"scale{i}_unit{j}")(
-                    x, train
-                )
+                x = Block(
+                    self.out_channels[i], bn_groups=self.bn_groups, dtype=self.dtype,
+                    name=f"scale{i}_unit{j}",
+                )(x, train)
             outs.append(x)
         return outs
 
@@ -165,6 +170,7 @@ class FusionLayer(nn.Module):
 
     channels: Sequence[int]  # per input scale
     num_scales_out: int = -1
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -181,12 +187,14 @@ class FusionLayer(nn.Module):
                         is_last = k == (i - j) - 1
                         feats = self.channels[i] if is_last else self.channels[j]
                         x = ConvBN(
-                            feats, kernel=3, stride=2, relu=not is_last, dtype=self.dtype,
+                            feats, kernel=3, stride=2, relu=not is_last,
+                            bn_groups=self.bn_groups, dtype=self.dtype,
                             name=f"out{i}_in{j}_down{k}",
                         )(x, train)
                 elif i < j:
                     x = ConvBN(
-                        self.channels[i], kernel=1, relu=False, dtype=self.dtype,
+                        self.channels[i], kernel=1, relu=False,
+                        bn_groups=self.bn_groups, dtype=self.dtype,
                         name=f"out{i}_in{j}_up",
                     )(x, train)
                     x = _upsample_nearest(x, 2 ** (j - i))
@@ -202,6 +210,7 @@ class TransitionLayer(nn.Module):
 
     out_channels: Sequence[int]  # len == num existing branches + 1
     is_first_stage: bool
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -210,13 +219,13 @@ class TransitionLayer(nn.Module):
         for i, x in enumerate(xs):
             if self.is_first_stage:
                 x = ConvBN(
-                    self.out_channels[i], kernel=3, relu=True, dtype=self.dtype,
-                    name=f"branch{i}",
+                    self.out_channels[i], kernel=3, relu=True,
+                    bn_groups=self.bn_groups, dtype=self.dtype, name=f"branch{i}",
                 )(x, train)
             outs.append(x)
         new = ConvBN(
-            self.out_channels[-1], kernel=3, stride=2, relu=True, dtype=self.dtype,
-            name="new_branch",
+            self.out_channels[-1], kernel=3, stride=2, relu=True,
+            bn_groups=self.bn_groups, dtype=self.dtype, name="new_branch",
         )(xs[-1], train)
         outs.append(new)
         return outs
@@ -234,6 +243,7 @@ class HighResolutionStage(nn.Module):
     is_final_stage: bool
     is_first_stage: bool
     final_stage_single_scale: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -254,21 +264,23 @@ class HighResolutionStage(nn.Module):
         for b in range(self.num_blocks):
             is_final_block = b == self.num_blocks - 1
             xs = HighResolutionBlock(
-                self.num_units, self.block_type, block_out_channels, dtype=self.dtype,
-                name=f"block{b}",
+                self.num_units, self.block_type, block_out_channels,
+                bn_groups=self.bn_groups, dtype=self.dtype, name=f"block{b}",
             )(xs, train)
             if self.is_final_stage and is_final_block and self.final_stage_single_scale:
                 num_scales_out = 1
             else:
                 num_scales_out = num_scales
-            xs = FusionLayer(fuse_ch, num_scales_out, dtype=self.dtype, name=f"fusion{b}")(
-                xs, train
-            )
+            xs = FusionLayer(
+                fuse_ch, num_scales_out, bn_groups=self.bn_groups, dtype=self.dtype,
+                name=f"fusion{b}",
+            )(xs, train)
 
         if self.is_final_stage:
             return xs
         return TransitionLayer(
-            self.out_channels, self.is_first_stage, dtype=self.dtype, name="transition"
+            self.out_channels, self.is_first_stage, bn_groups=self.bn_groups,
+            dtype=self.dtype, name="transition",
         )(xs, train)
 
 
@@ -291,15 +303,17 @@ class HRNetBackbone(nn.Module):
     # storing activations only at stage boundaries (jax.checkpoint), enabling
     # the reference's bs-36 @512 training shape within v5e HBM
     remat: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> list:
         C = self.C
         C2, C4, C8 = 2 * C, 4 * C, 8 * C
+        g = self.bn_groups
         # stem: two stride-2 3x3 convs 3->64->64 (reference hrnet.py:354-358)
-        x = ConvBN(64, kernel=3, stride=2, relu=True, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBN(64, kernel=3, stride=2, relu=True, dtype=self.dtype, name="stem2")(x, train)
+        x = ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g, dtype=self.dtype, name="stem1")(x, train)
+        x = ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g, dtype=self.dtype, name="stem2")(x, train)
 
         nb = self.num_blocks_per_stage
         nu = self.num_units
@@ -322,6 +336,7 @@ class HRNetBackbone(nn.Module):
                 is_final_stage=s == len(config) - 1,
                 is_first_stage=s == 0,
                 final_stage_single_scale=self.final_stage_single_scale,
+                bn_groups=g,
                 dtype=self.dtype,
                 name=f"stage{s + 1}",
             )(xs, train)
@@ -336,6 +351,7 @@ class HRNetSPPE(nn.Module):
     C: int = 32
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -343,7 +359,7 @@ class HRNetSPPE(nn.Module):
         feats = HRNetBackbone(
             self.C, final_stage_single_scale=True,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            dtype=self.dtype, name="backbone",
+            bn_groups=self.bn_groups, dtype=self.dtype, name="backbone",
         )(images, train)[0]
         hms = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype, name="final_conv")(feats)
         hms = jnp.asarray(hms, jnp.float32)

@@ -9,7 +9,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BN_EPS, BN_MOMENTUM
+from .norm import batch_norm
 from .resnet import ResNet
 
 Dtype = Any
@@ -19,20 +19,23 @@ class SimpleBaseline(nn.Module):
     num_kpts: int = 17
     backbone: str = "resnet50"
     deconv_features: int = 256
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        x = ResNet(self.backbone, dtype=self.dtype, name="backbone")(images, train)
+        x = ResNet(
+            self.backbone, bn_groups=self.bn_groups, dtype=self.dtype, name="backbone"
+        )(images, train)
         for i in range(3):
             x = nn.ConvTranspose(
                 self.deconv_features, (4, 4), strides=(2, 2), padding="SAME",
                 use_bias=False, dtype=self.dtype, name=f"deconv{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                dtype=self.dtype, name=f"deconv_bn{i}",
-            )(x)
+            x = batch_norm(
+                x, train=train, bn_groups=self.bn_groups, dtype=self.dtype,
+                name=f"deconv_bn{i}",
+            )
             x = nn.relu(x)
         hms = nn.Conv(self.num_kpts, (1, 1), dtype=self.dtype, name="final")(x)
         return [jnp.asarray(hms, jnp.float32)]

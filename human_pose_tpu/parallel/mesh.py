@@ -66,11 +66,15 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def barrier() -> None:
-    """Host-side synchronization point: a tiny replicated collective, blocked
-    on (the TPU analog of dist.barrier(), reference trainer.py:195-197)."""
-    x = jax.numpy.zeros(())
-    jax.block_until_ready(x + 0)
+def barrier(name: str = "barrier") -> None:
+    """True cross-process synchronization point (the TPU analog of
+    dist.barrier(), reference trainer.py:195-197,288-291): every process
+    blocks until all processes reach the same named point, implemented as an
+    all-device collective (psum over the global device set). Single-process:
+    degenerates to a trivial local collective."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def local_batch_to_global(mesh: Mesh, tree: Any) -> Any:

@@ -17,6 +17,7 @@ from tqdm.auto import tqdm
 
 from ..loggers.loggers import Loggers, Status
 from ..loggers.pylogger import log
+from ..parallel.mesh import barrier
 from ..utils.utils import is_main_process
 from .callbacks import Callbacks
 from .checkpoint import load_checkpoint, load_params_partial, load_train_state, save_checkpoint
@@ -196,20 +197,22 @@ class Trainer:
 
     # -- checkpointing ---------------------------------------------------------
     def save_checkpoint(self, path: str | Path) -> None:
-        if not is_main_process():
-            return
-        save_checkpoint(
-            path,
-            self.module.state,
-            epoch=self.current_epoch,
-            datamodule_state={
-                **(self.datamodule.state_dict() if self.datamodule else {}),
-                "schedulers": self.module.schedulers_state_dict(),
-            },
-            metrics_state=self.storage.state_dict(),
-            callbacks_state=self.callbacks.state_dict(),
-            logger_state=self.logger.state_dict(),
-        )
+        if is_main_process():
+            save_checkpoint(
+                path,
+                self.module.state,
+                epoch=self.current_epoch,
+                datamodule_state={
+                    **(self.datamodule.state_dict() if self.datamodule else {}),
+                    "schedulers": self.module.schedulers_state_dict(),
+                },
+                metrics_state=self.storage.state_dict(),
+                callbacks_state=self.callbacks.state_dict(),
+                logger_state=self.logger.state_dict(),
+            )
+        # all processes wait for the checkpoint to exist before proceeding
+        # (reference dist.barrier() around save, trainer.py:288-291)
+        barrier("save_checkpoint")
 
     def load_checkpoint(self, path: str | Path) -> int:
         ckpt = load_checkpoint(path)

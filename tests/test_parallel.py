@@ -69,3 +69,60 @@ def test_hungarian_partial_rows():
     col = np.asarray(hungarian(cost, num_valid_rows=jnp.int32(2)))
     assert col[0] == 0 and col[1] == 1
     assert col[2] == -1  # row beyond num_valid_rows unassigned
+
+
+def test_bn_groups_wiring_on_mesh():
+    """trainer.sync_batchnorm plumbing (reference src/base/model.py:42-44):
+    default = per-device BN moments (bn_groups = mesh size), flag=True =
+    global-batch moments (bn_groups=1). Verified through a jitted ConvBN on
+    the 8-device mesh with per-shard-distinct statistics."""
+    from human_pose_tpu.models.hrnet import ConvBN
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    # each device's shard (2 samples) has a distinct mean/scale
+    shards = [
+        rng.randn(2, 4, 4, 3).astype(np.float32) * (i + 1) + 3.0 * i
+        for i in range(8)
+    ]
+    x = shard_batch(mesh, np.concatenate(shards))
+
+    def run(bn_groups):
+        m = ConvBN(3, kernel=1, bn_groups=bn_groups)
+        v = m.init(jax.random.PRNGKey(0), np.zeros((1, 4, 4, 3), np.float32), train=False)
+
+        @jax.jit
+        def fwd(v, x):
+            return m.apply(v, x, train=True, mutable=["batch_stats"])[0]
+
+        return np.asarray(fwd(v, x))
+
+    y_local = run(8)  # reference default: per-device stats
+    for i in range(8):
+        sl = slice(2 * i, 2 * i + 2)
+        assert abs(y_local[sl].mean()) < 1e-3, f"shard {i} not locally normalized"
+        assert abs(y_local[sl].std() - 1.0) < 2e-2
+
+    y_sync = run(1)  # sync_batchnorm=true: global moments
+    assert abs(y_sync.mean()) < 1e-3
+    # global stats only center the WHOLE batch: the per-shard offsets (3*i)
+    # survive as nonzero per-shard means, unlike the per-device variant above
+    shard_means = [abs(y_sync[2 * i : 2 * i + 2].mean()) for i in range(8)]
+    assert max(shard_means) > 0.1, shard_means
+
+
+def test_sync_batchnorm_config_plumbing():
+    """BaseConfig.bn_groups(): flag -> 1 group; default -> mesh size."""
+    from human_pose_tpu.configs.keypoints import KeypointsConfig
+
+    mesh = make_mesh(8)
+    cfg = KeypointsConfig()
+    cfg.__post_init_config__()
+    assert cfg.bn_groups(mesh) == 8  # reference default: per-device stats
+    net = cfg.create_net(bn_groups=cfg.bn_groups(mesh))
+    assert net.bn_groups == 8
+
+    cfg.trainer.sync_batchnorm = True
+    assert cfg.bn_groups(mesh) == 1
+    net = cfg.create_net(bn_groups=cfg.bn_groups(mesh))
+    assert net.bn_groups == 1
