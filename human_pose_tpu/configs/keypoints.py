@@ -131,7 +131,11 @@ class KeypointsConfig(BaseConfig):
         )
 
     def create_inference_model(self, ckpt_path: str | None = None, device=None):
-        from ..inference.models import InferenceKeypointsModel, load_variables_from_ckpt
+        from ..inference.models import (
+            InferenceKeypointsModel,
+            InferenceSPPEModel,
+            load_variables_from_ckpt,
+        )
 
         model = self.create_net()
         ckpt = ckpt_path or self.inference.ckpt_path
@@ -145,6 +149,15 @@ class KeypointsConfig(BaseConfig):
             dtype = getattr(model, "dtype", jnp.float32)
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), dtype), train=False
+            )
+        arch = self.setup.architecture or "HigherHRNet"
+        if arch in ("HRNet", "SimpleBaseline"):
+            # single-person models: no AE tags -> argmax parser
+            return InferenceSPPEModel(
+                model,
+                dict(variables),
+                det_thr=self.inference.det_thr,
+                input_size=self.inference.input_size,
             )
         return InferenceKeypointsModel(
             model,

@@ -25,6 +25,7 @@ from ..data.transforms import (
 from ..ops.decode import decode_batch
 from ..ops.flip import COCO_FLIP_INDEX, flip_back, merge_flip_heatmaps
 from ..ops.heatmaps import average_stages, resize_bilinear
+from ..ops.sppe import sppe_parse
 from ..train.checkpoint import load_checkpoint, load_train_state
 from .results import ClassificationResult, InferenceKeypointsResult
 
@@ -183,6 +184,69 @@ class InferenceKeypointsModel:
             joints=joints[0],
             obj_scores=scores[0],
             valid=valid[0],
+            center=center,
+            scale=scale_wh,
+            det_thr=self.det_thr,
+            tag_thr=self.tag_thr,
+            limbs=self.limbs,
+        )
+
+
+class InferenceSPPEModel:
+    """Single-person inference: forward + argmax decode (the SPPE analog of
+    InferenceKeypointsModel, reference grouping.py:10-52 SPPEHeatmapParser).
+
+    Drives HRNetSPPE / SimpleBaseline / HourglassNet — models returning a list
+    of heatmap stages and no AE tags. One person per image; joints are decoded
+    at input size and mapped back to raw-image coordinates via the same
+    inverse affine as the bottom-up path."""
+
+    limbs = COCO_LIMBS
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        det_thr: float = 0.2,
+        input_size: int = 512,
+    ):
+        self.model = model
+        self.variables = variables
+        self.det_thr = det_thr
+        self.tag_thr = 0.0  # unused; kept for result/CLI interface parity
+        self.input_size = input_size
+        self.model_input_shape: tuple | None = None
+
+    @functools.partial(jax.jit, static_argnames=("self", "hw"))
+    def _forward_decode(self, variables, x, hw):
+        out = self.model.apply(variables, x, train=False)
+        stages_hms = out[0] if isinstance(out, tuple) else out
+        avg = resize_bilinear(average_stages(stages_hms), *hw)
+        joints = sppe_parse(avg)  # [N, 1, K, 3]
+        return avg, joints
+
+    def __call__(self, raw_image: np.ndarray, annot=None) -> InferenceKeypointsResult:
+        dtype = getattr(self.model, "dtype", jnp.float32)
+        resized, center, scale_wh = resize_align_multi_scale(
+            raw_image, self.input_size, 1.0, 1.0
+        )
+        x = jnp.asarray(normalize(resized)[None], dtype)
+        h, w = x.shape[1:3]
+        self.model_input_shape = (h, w)
+        avg, joints = self._forward_decode(self.variables, x, (h, w))
+        joints = np.asarray(joints[0])  # [1, K, 3]
+        # zero tag column so the result layout matches the AE path ([..., 3:])
+        joints = np.concatenate([joints, np.zeros_like(joints[..., :1])], axis=-1)
+        obj_scores = joints[..., 2].mean(axis=-1)  # [1]
+        return InferenceKeypointsResult.from_decoded(
+            raw_image=raw_image,
+            annot=annot,
+            model_input_image=inverse_normalize(np.asarray(x[0], np.float32)),
+            avg_heatmaps=np.asarray(avg[0]),
+            tags_heatmaps=np.zeros((*avg.shape[1:3], avg.shape[-1], 1), np.float32),
+            joints=joints,
+            obj_scores=obj_scores,
+            valid=np.ones((1,), bool),
             center=center,
             scale=scale_wh,
             det_thr=self.det_thr,

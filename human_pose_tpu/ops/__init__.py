@@ -3,8 +3,10 @@ from .grouping import nms, top_k, match_by_tag, adjust, refine, refine_batch, pa
 from .flip import COCO_FLIP_INDEX, flip_back, merge_flip_heatmaps, stack_flip_tags
 from .heatmaps import resize_bilinear, match_heatmaps_size, average_stages
 from .decode import decode_batch
+from .sppe import sppe_parse
 
 __all__ = [
+    "sppe_parse",
     "hungarian",
     "hungarian_batch",
     "nms",

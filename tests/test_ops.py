@@ -79,3 +79,28 @@ def test_decode_batch_shapes():
         [hm14, hm12], [tags, tags], input_hw=(64, 64), max_num_people=10
     )
     assert joints2.shape == (n, 10, k, 3 + 2)
+
+
+def test_sppe_parse_oracle():
+    """sppe_parse vs a NumPy oracle of the reference SPPEHeatmapParser
+    (reference grouping.py:10-52): per-keypoint row-major argmax -> (x, y),
+    score = heatmap value, one person, first-max tie-break."""
+    import jax.numpy as jnp
+
+    from human_pose_tpu.ops import sppe_parse
+
+    rs = np.random.RandomState(0)
+    hms = rs.rand(2, 13, 9, 4).astype(np.float32)
+    # exact ties pin the first-(row-major)-max tie-break
+    hms[0, 3, 2, 0] = 2.0
+    hms[0, 7, 5, 0] = 2.0
+    out = np.asarray(sppe_parse(jnp.asarray(hms)))
+    assert out.shape == (2, 1, 4, 3)
+    for n in range(2):
+        for k in range(4):
+            flat = hms[n, :, :, k].reshape(-1)
+            idx = int(np.argmax(flat))  # first max, like torch.argmax on CPU
+            assert out[n, 0, k, 0] == idx % 9
+            assert out[n, 0, k, 1] == idx // 9
+            assert out[n, 0, k, 2] == flat[idx]
+    assert (out[0, 0, 0, :2] == (2, 3)).all()  # the tie resolved row-major-first
