@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import glob
 import json
-import random
 from pathlib import Path
 
 import cv2
@@ -152,12 +151,12 @@ class CocoKeypointsDataset:
         mask = np.load(self.masks_filepaths[idx])
         return image, annot, mask
 
-    def get_raw_mosaiced_data(self, idx: int):
+    def get_raw_mosaiced_data(self, idx: int, rng: np.random.Generator):
         """2x2 mosaic (reference coco.py:300-370, without segmentation
         rescaling which the training targets don't use)."""
         out_size = self.out_size * 2
         img_size = out_size // 2
-        idxs = [idx] + [random.randint(0, len(self) - 1) for _ in range(3)]
+        idxs = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]
         mosaic_annot: list[dict] = []
         mosaic_img = np.zeros([out_size, out_size, 3], np.uint8)
         mosaic_mask = np.empty([out_size, out_size], bool)
@@ -186,11 +185,17 @@ class CocoKeypointsDataset:
             mosaic_mask[s_y : s_y + img_size, s_x : s_x + img_size] = new_mask
         return mosaic_img, mosaic_annot, mosaic_mask
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
         """Returns (image [H,W,3] f32, heatmaps list([h,w,K] f32),
-        masks list([h,w] f32), joints [P,K,3] i32 at 1/4 scale)."""
-        if random.random() < self.mosaic_probability:
-            img, annot, mask = self.get_raw_mosaiced_data(idx)
+        masks list([h,w] f32), joints [P,K,3] i32 at 1/4 scale).
+
+        All augmentation randomness comes from ``rng`` (derived by the loader
+        from (seed, epoch, idx)) so the batch stream is reproducible and
+        resume is bit-compatible (reference datamodule.py:91-106)."""
+        if rng is None:
+            rng = np.random.default_rng()
+        if rng.random() < self.mosaic_probability:
+            img, annot, mask = self.get_raw_mosaiced_data(idx, rng)
         else:
             img, annot, mask = self.get_raw_data(idx)
 
@@ -201,7 +206,7 @@ class CocoKeypointsDataset:
         mask_list = [mask.astype(np.float32).copy() for _ in range(self.num_scales)]
         joints_list = [joints.copy() for _ in range(self.num_scales)]
         if self.transform is not None:
-            img, mask_list, joints_list = self.transform(img, mask_list, joints_list)
+            img, mask_list, joints_list = self.transform(img, mask_list, joints_list, rng)
         heatmaps = []
         padded_joints = []
         for i in range(self.num_scales):

@@ -48,11 +48,11 @@ class ImagenetClassificationDataset:
         img = cv2.imread(path)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
         img = self.load_image(idx)
         label = self.samples[idx][1]
         if self.transform is not None:
-            img = self.transform(img)
+            img = self.transform(img, rng=rng)
         return img.astype(np.float32), label
 
 

@@ -1,4 +1,4 @@
-"""Prefetching data loader with per-host sharding and resumable RNG.
+"""Prefetching data loader with per-host sharding and deterministic RNG.
 
 Replaces torch's DataLoader + DistributedSampler (reference
 src/base/datamodule.py:68-89): a thread pool decodes/augments samples ahead of
@@ -7,14 +7,18 @@ computes, and an epoch-seeded permutation is sharded across processes
 (``sampler.set_epoch`` equivalent: the permutation is a function of
 (seed, epoch), reference trainer.py:278-279).
 
-RNG snapshot/restore covers python and numpy generators (reference
-datamodule.py:91-106 captures all framework RNG states for bit-compatible
-resume; JAX keys are explicit so only host RNG needs capture).
+Determinism: each sample gets its own ``np.random.Generator`` seeded by
+(seed, epoch, dataset index), passed into ``dataset.__getitem__``. Worker
+threads never touch shared RNG state, so the batch stream is identical run to
+run, independent of thread scheduling AND of process/shard layout. Resume
+state is just (seed, epoch) — strictly stronger than the reference's global
+RNG snapshot (datamodule.py:91-106), which is only bit-compatible if the
+worker schedule replays exactly.
 """
 
 from __future__ import annotations
 
-import random
+import inspect
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
@@ -48,6 +52,9 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        self._getitem_takes_rng = (
+            "rng" in inspect.signature(dataset.__getitem__).parameters
+        )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -69,6 +76,15 @@ class DataLoader:
         n = len(self._epoch_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _get_sample(self, idx: int):
+        """Fetch one sample with its own (seed, epoch, idx)-derived generator:
+        reproducible regardless of thread scheduling or shard layout."""
+        idx = int(idx)
+        if not self._getitem_takes_rng:
+            return self.dataset[idx]
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
+        return self.dataset.__getitem__(idx, rng)
+
     def __iter__(self) -> Iterator:
         indices = self._epoch_indices()
         nb = len(self)
@@ -83,7 +99,7 @@ class DataLoader:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    samples = list(pool.map(self._get_sample, batch_idx))
                     q.put(self.collate_fn(samples))
             q.put(None)
 
@@ -98,20 +114,13 @@ class DataLoader:
         finally:
             stop.set()
 
-    # -- resumable host RNG (reference datamodule.py:91-106) ----------------
+    # -- resumable state (reference datamodule.py:91-106) --------------------
+    # every random draw is a pure function of (seed, epoch, index), so resume
+    # state is just these two scalars — no RNG snapshot needed
     def state_dict(self) -> dict:
-        return {
-            "epoch": self.epoch,
-            "python_random": random.getstate(),
-            "numpy_random": np.random.get_state(),
-        }
+        return {"epoch": self.epoch, "seed": self.seed}
 
     def load_state_dict(self, state: dict) -> None:
         self.epoch = int(state["epoch"])
-        if "python_random" in state:
-            st = state["python_random"]
-            random.setstate((st[0], tuple(st[1]), st[2]) if isinstance(st, (list, tuple)) else st)
-        if "numpy_random" in state:
-            st = list(state["numpy_random"])
-            st[1] = np.asarray(st[1], np.uint32)
-            np.random.set_state(tuple(st))
+        if "seed" in state:
+            self.seed = int(state["seed"])

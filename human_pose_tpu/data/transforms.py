@@ -12,7 +12,6 @@ Counterparts of the reference transforms:
 
 from __future__ import annotations
 
-import random
 from typing import Callable, Sequence
 
 import cv2
@@ -41,12 +40,18 @@ def inverse_normalize(image: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -
 
 
 class ComposeKeypointsTransform:
+    """Transforms draw randomness ONLY from the per-sample ``rng`` so the
+    pipeline is deterministic in (seed, epoch, index) and resumable
+    (reference captures global RNG state instead, datamodule.py:91-106)."""
+
     def __init__(self, transforms: Sequence[Callable]):
         self.transforms = list(transforms)
 
-    def __call__(self, image, mask_list, joints_list):
+    def __call__(self, image, mask_list, joints_list, rng: np.random.Generator | None = None):
+        if rng is None:
+            rng = np.random.default_rng()
         for t in self.transforms:
-            image, mask_list, joints_list = t(image, mask_list, joints_list)
+            image, mask_list, joints_list = t(image, mask_list, joints_list, rng)
         return image, mask_list, joints_list
 
 
@@ -79,16 +84,16 @@ class RandomAffineTransform:
         ones = np.ones((flat.shape[0], 1))
         return (np.concatenate([flat, ones], axis=1) @ mat.T).reshape(shape)
 
-    def __call__(self, image, mask_list, joints_list):
+    def __call__(self, image, mask_list, joints_list, rng: np.random.Generator):
         h, w = image.shape[:2]
         center = np.array((w / 2.0, h / 2.0))
         scale = (min(h, w) if self.scale_type == "short" else max(h, w)) / 200.0
-        scale *= np.random.random() * (self.max_scale - self.min_scale) + self.min_scale
-        rot = (np.random.random() * 2 - 1) * self.max_rotation
+        scale *= rng.random() * (self.max_scale - self.min_scale) + self.min_scale
+        rot = (rng.random() * 2 - 1) * self.max_rotation
         if self.max_translate > 0:
             mt = int(self.max_translate * scale)
-            center[0] += np.random.randint(-mt, mt)
-            center[1] += np.random.randint(-mt, mt)
+            center[0] += rng.integers(-mt, mt)
+            center[1] += rng.integers(-mt, mt)
 
         for i, hm_size in enumerate(self.hm_sizes):
             mat = get_aug_affine_matrix(center, scale, (hm_size, hm_size), rot)[:2]
@@ -111,8 +116,8 @@ class RandomHorizontalFlip:
         self.hm_sizes = list(hm_sizes)
         self.p = p
 
-    def __call__(self, image, mask_list, joints_list):
-        if random.random() < self.p:
+    def __call__(self, image, mask_list, joints_list, rng: np.random.Generator):
+        if rng.random() < self.p:
             image = np.ascontiguousarray(image[:, ::-1])
             for i, hm_size in enumerate(self.hm_sizes):
                 mask_list[i] = np.ascontiguousarray(mask_list[i][:, ::-1])
@@ -125,7 +130,7 @@ class NormalizeKeypoints:
     def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.mean, self.std = mean, std
 
-    def __call__(self, image, mask_list, joints_list):
+    def __call__(self, image, mask_list, joints_list, rng=None):
         return normalize(image, self.mean, self.std), mask_list, joints_list
 
 
@@ -175,18 +180,21 @@ class KeypointsTransform:
 # ---------------------------------------------------------------------------
 
 
-def random_resized_crop(image: np.ndarray, size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+def random_resized_crop(
+    image: np.ndarray, size: int, rng: np.random.Generator, scale=(0.08, 1.0),
+    ratio=(3 / 4, 4 / 3),
+):
     h, w = image.shape[:2]
     area = h * w
     for _ in range(10):
-        target_area = random.uniform(*scale) * area
+        target_area = rng.uniform(*scale) * area
         log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
-        aspect = np.exp(random.uniform(*log_ratio))
+        aspect = np.exp(rng.uniform(*log_ratio))
         cw = int(round(np.sqrt(target_area * aspect)))
         ch = int(round(np.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            x0 = random.randint(0, w - cw)
-            y0 = random.randint(0, h - ch)
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
             crop = image[y0 : y0 + ch, x0 : x0 + cw]
             return cv2.resize(crop, (size, size), interpolation=cv2.INTER_LINEAR)
     # fallback: center crop
@@ -216,13 +224,15 @@ class ClassificationTransform:
         self.out_size = out_size
         self.mean, self.std = mean, std
 
-    def train(self, image: np.ndarray) -> np.ndarray:
-        img = random_resized_crop(image, self.out_size)
-        if random.random() < 0.5:
+    def train(self, image: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+        if rng is None:
+            rng = np.random.default_rng()
+        img = random_resized_crop(image, self.out_size, rng)
+        if rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
         return normalize(img, self.mean, self.std)
 
-    def inference(self, image: np.ndarray) -> np.ndarray:
+    def inference(self, image: np.ndarray, rng=None) -> np.ndarray:
         img = resize_short(image, int(self.out_size / 0.875))
         img = center_crop(img, self.out_size)
         return normalize(img, self.mean, self.std)

@@ -107,7 +107,8 @@ class Trainer:
         self.val_results = []
         self.callbacks.on_validation_start(self)
         n_batches = min(len(val_dl), self.limit_batches) if self.limit_batches > 0 else len(val_dl)
-        plot_batch = random.randint(0, max(0, n_batches - 1))
+        # deterministic in epoch: full-run reproducibility incl. plot choice
+        plot_batch = random.Random(self.current_epoch).randint(0, max(0, n_batches - 1))
         for i, batch in enumerate(
             tqdm(self._limit(val_dl), total=n_batches,
                  desc=f"epoch {self.current_epoch} [{split}]",
