@@ -17,6 +17,7 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
 from tqdm.auto import tqdm
 
 from ..configs.keypoints import KeypointsConfig
@@ -28,14 +29,28 @@ from ..utils.files import load_json, save_json, save_yaml
 
 def evaluate_dataset(model, ds: CocoKeypointsDataset, limit: int = -1) -> list[dict]:
     results = []
+    oks_values = []
     n = len(ds) if limit <= 0 else min(limit, len(ds))
-    for idx in tqdm(range(n), desc="evaluating val2017"):
+    pbar = tqdm(range(n), desc="evaluating val2017")
+    for idx in pbar:
         image = ds.load_image(idx)
         annot = ds.load_annot(idx)
-        result = model(image, annot=None)
-        image_id = int(Path(ds.images_filepaths[idx]).stem)
+        result = model(image, annot=annot)
+        # per-image OKS like the reference (results.py:300-304)
+        try:
+            oks = result.calculate_OKS()
+        except Exception:
+            oks = -1.0
+        if oks >= 0:
+            oks_values.append(oks)
+            pbar.set_postfix({"OKS": f"{oks:.2f}", "mean": f"{np.mean(oks_values):.3f}"})
+        # COCO filenames are zero-padded image ids; tolerate non-numeric stems
+        stem = Path(ds.images_filepaths[idx]).stem
+        digits = "".join(c for c in stem if c.isdigit())
+        image_id = int(digits) if digits else idx
         results.extend(result.to_coco_detections(image_id))
-        del annot
+    if oks_values:
+        log.info(f"mean image OKS over {len(oks_values)} images: {np.mean(oks_values):.4f}")
     return results
 
 

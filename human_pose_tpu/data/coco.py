@@ -166,7 +166,11 @@ class CocoKeypointsDataset:
             s_y = 0 if i < 2 else img_size
             s_x = 0 if i % 2 == 0 else img_size
             new_img = cv2.resize(img, (img_size, img_size))
-            new_mask = cv2.resize((mask * 255).astype(np.uint8), (img_size, img_size)) > 127
+            # reference resizes the baked mask too (coco.py:328 — its
+            # segmentation rescale is plot-only, add_segmentation=False in
+            # training); its `> 0.5` on uint8 means ANY nonzero contribution
+            # masks the pixel, so boundaries dilate rather than erode
+            new_mask = cv2.resize((mask * 255).astype(np.uint8), (img_size, img_size)) > 0
             sy, sx = img_size / img_h, img_size / img_w
             for obj in annot:
                 kpts = np.asarray(obj["keypoints"], np.float64).reshape(-1, 3)

@@ -279,3 +279,39 @@ def test_loader_determinism_and_resume(coco_root):
     img_shard0 = np.asarray(list(d0)[0]["images"])
     img_full0 = np.asarray(list(full)[0]["images"])
     np.testing.assert_array_equal(img_shard0, img_full0)
+
+
+def test_mosaic_mask_parity_with_reference(coco_root):
+    """Mosaic crowd-mask parity (reference coco.py:300-370): the reference
+    builds the mosaic mask by resizing the pre-baked crowd mask with
+    `cv2.resize((mask*255).astype(uint8)) > 0.5` — i.e. any nonzero bilinear
+    contribution masks the pixel (its segmentation rescale is plot-only,
+    add_segmentation=False in training). Verify each quadrant of our mosaic
+    mask equals that construction, with a soft-boundary crowd region."""
+    root, _ = coco_root
+    ds = CocoKeypointsDataset(str(root), "val2017", None, out_size=48)
+
+    # overwrite a baked mask with a ragged blob whose resized boundary has
+    # partial contributions (the regime where >0 and >127 disagree)
+    blob = np.zeros((96, 96), np.float32)
+    blob[10:17, 20:23] = 1.0
+    blob[50:52, 60:75] = 1.0
+    np.save(ds.masks_filepaths[0], blob)
+
+    rng = np.random.default_rng(123)
+    _, _, mosaic_mask = ds.get_raw_mosaiced_data(0, np.random.default_rng(123))
+    idxs = [0] + [int(rng.integers(0, len(ds))) for _ in range(3)]  # replay picks
+
+    img_size = ds.out_size  # out_size*2 // 2
+    for i, cur in enumerate(idxs):
+        ref_mask = np.load(ds.masks_filepaths[cur])
+        expected = cv2.resize(
+            (ref_mask * 255).astype(np.uint8), (img_size, img_size)
+        ) > 0.5  # exact reference expression
+        s_y = 0 if i < 2 else img_size
+        s_x = 0 if i % 2 == 0 else img_size
+        got = mosaic_mask[s_y : s_y + img_size, s_x : s_x + img_size]
+        np.testing.assert_array_equal(got, expected, err_msg=f"quadrant {i}")
+    # the soft boundary actually exercised the disagreement regime
+    soft = cv2.resize((blob * 255).astype(np.uint8), (img_size, img_size))
+    assert ((soft > 0) != (soft > 127)).any()
