@@ -149,7 +149,14 @@ class COCOKeypointsEval:
             if a.get("category_id", 1) != 1:
                 continue
             a = dict(a)
-            a["ignore"] = a.get("ignore", 0) or a.get("num_keypoints", 0) == 0
+            # pycocotools _prepare (keypoints flavor): crowd regions AND
+            # gts without labeled keypoints are ignore — they can absorb
+            # detections but never count as misses
+            a["ignore"] = (
+                a.get("ignore", 0)
+                or a.get("iscrowd", 0)
+                or a.get("num_keypoints", 0) == 0
+            )
             self.gts.setdefault(a["image_id"], []).append(a)
         self.dts: dict[int, list] = {}
         for d in detections:
