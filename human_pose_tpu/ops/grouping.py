@@ -339,14 +339,14 @@ def parse_batch(
     )(kpts_hms, tags_hms)  # [B,K,M,E], [B,K,M,2], [B,K,M]
 
     if _use_pallas(h, w):
-        from .pallas_match import match_by_tag_pallas
+        from .pallas_match import match_by_tag_pallas_batched
 
         cand = jnp.concatenate(
             [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
         )  # [B, K, M, 3+E]
         order = JOINTS_ORDER[:k] if k <= len(JOINTS_ORDER) else tuple(range(k))
         cand_ordered = cand[:, jnp.asarray(order)]
-        grouped, count = match_by_tag_pallas(
+        grouped, count = match_by_tag_pallas_batched(
             cand_ordered, det_thr=det_thr, tag_thr=tag_thr,
             joints_order=tuple(order), num_persons=m,
         )

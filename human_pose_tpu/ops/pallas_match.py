@@ -231,6 +231,247 @@ def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
     count_ref[0] = jnp.broadcast_to(count, (1, LANES)).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# batched kernel: the whole batch in ONE grid cell
+# ---------------------------------------------------------------------------
+#
+# The per-image kernel above runs the batch as sequential grid cells, so each
+# image pays the full while-loop latency (the augmenting-path iteration count
+# is the decode's latency driver: ~0.5 us of loop overhead per iteration).
+# This variant stacks the batch on the leading dim of 3-D [B, SUB, LANES]
+# values and predicates the Hungarian's while loops per image: the iteration
+# count becomes the MAX over the batch instead of the SUM (measured ~4x faster
+# at batch 8 on dense scenes).
+#
+# Layout differences vs the per-image kernel:
+#   * person-indexed state (tag_sum/tag_cnt) lives on LANES as [B, 1, LANES]
+#     rows, so the matched-harvest is an axis-1 (sublane) reduction — no
+#     cross-sublane transposes anywhere.
+#   * grouped joints accumulate LANE-major as [B, K*F (sublanes), P (lanes)];
+#     the [B, P, K, F] output transpose happens outside the kernel in XLA.
+#   * `row_used` (rows matched to a visited column) is maintained
+#     incrementally instead of recomputed from p_match, saving a
+#     [B, SUB, LANES] sweep per augmenting iteration.
+#   * per-image cumsum over sublanes (new-person slots) uses masked
+#     pltpu.roll doubling instead of a triangular matmul.
+
+
+def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
+                          B, K, M, E, F, P, det_thr, tag_thr):
+    kfs = joints_ref.shape[1]  # K*F padded to a sublane multiple
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANES), 2)
+    rrow_c = rrow[:, :, 0:1]  # [B, SUB, 1]
+    lane_r = lane[:, 0:1, :]  # [B, 1, LANES]
+    krow = jax.lax.broadcasted_iota(jnp.int32, (B, kfs, LANES), 1)
+    lane_2d = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    order_row = order_ref[0]  # [1, LANES] i32
+
+    def step(s, state):
+        joints_lane, tag_sums, tag_cnt, count = state
+        idx = jnp.sum(jnp.where(lane_2d == s, order_row, 0))  # original joint id
+        cand = cand_ref[:, s]  # [B, SUB, F]
+        scores = cand[:, :, 2:3]  # [B, SUB, 1]
+        valid = (scores > det_thr) & (rrow_c < M)
+        validf = valid.astype(jnp.float32)
+        cand_tags = [cand[:, :, 3 + e : 4 + e] for e in range(E)]  # [B, SUB, 1] each
+
+        safe_cnt = jnp.maximum(tag_cnt, 1.0)  # [B, 1, LANES]
+        d2 = jnp.zeros((B, SUB, LANES), jnp.float32)
+        for e in range(E):
+            diff = cand_tags[e] - tag_sums[e] / safe_cnt  # [B, SUB, LANES]
+            d2 = d2 + diff * diff
+        dist = jnp.sqrt(d2)
+
+        person_lane = lane_r < count  # [B, 1, LANES]
+        cost = jnp.round(dist) * 100.0 - scores
+        cost = jnp.where(person_lane, cost, _PAD)
+
+        # ----- Hungarian: rows on sublanes, columns on lanes, per-image ------
+        u0 = jnp.zeros((B, SUB, 1), jnp.float32)
+        v0 = jnp.zeros((B, 1, LANES), jnp.float32)
+        pm0 = jnp.zeros((B, 1, LANES), jnp.int32)  # row+1 matched to col
+
+        def assign_row(m, uvp):
+            u, v, pm = uvp
+            is_valid = jnp.sum(
+                jnp.where(rrow_c == m, validf, 0.0), axis=1, keepdims=True
+            ) > 0.0  # [B, 1, 1]
+            pm = jnp.where(is_valid & (lane_r == VCOL), m + 1, pm)
+
+            def aug_cond(c):
+                u, v, pm, minv, used, way, row_used, j0 = c
+                p_j0 = jnp.sum(jnp.where(lane_r == j0, pm, 0), axis=2, keepdims=True)
+                return jnp.max(jnp.where(is_valid, p_j0, 0)) != 0
+
+            def aug_body(c):
+                u, v, pm, minv, used, way, row_used, j0 = c
+                p_j0 = jnp.sum(jnp.where(lane_r == j0, pm, 0), axis=2, keepdims=True)
+                act = is_valid & (p_j0 != 0)  # [B, 1, 1]
+                used = jnp.where(act & (lane_r == j0), 1, used)
+                i0 = p_j0  # row+1 of the row matched to column j0
+                row_used = jnp.where(act & (rrow_c == i0 - 1), 1, row_used)
+                cost_i0 = jnp.sum(
+                    jnp.where(rrow == i0 - 1, cost, 0.0), axis=1, keepdims=True
+                )  # [B, 1, LANES]
+                u_i0 = jnp.sum(
+                    jnp.where(rrow_c == i0 - 1, u, 0.0), axis=1, keepdims=True
+                )  # [B, 1, 1]
+                cur = jnp.where(lane_r == VCOL, _INF, cost_i0 - u_i0 - v)
+                upd = act & (used == 0) & (cur < minv)
+                way = jnp.where(upd, j0, way)
+                minv = jnp.where(upd, cur, minv)
+                masked = jnp.where((used > 0) | (lane_r == VCOL), _INF, minv)
+                delta = jnp.min(masked, axis=2, keepdims=True)  # [B, 1, 1]
+                j1 = jnp.min(
+                    jnp.where(masked == delta, lane_r, LANES), axis=2, keepdims=True
+                ).astype(jnp.int32)
+                actf = act.astype(jnp.float32)
+                u = u + delta * row_used.astype(jnp.float32) * actf
+                v = jnp.where(act & (used > 0), v - delta, v)
+                minv = jnp.where(act & (used == 0), minv - delta, minv)
+                j0 = jnp.where(act, j1, j0)
+                return u, v, pm, minv, used, way, row_used, j0
+
+            minv0 = jnp.full((B, 1, LANES), _INF, jnp.float32)
+            used0 = jnp.zeros((B, 1, LANES), jnp.int32)
+            way0 = jnp.full((B, 1, LANES), VCOL, jnp.int32)
+            row_used0 = jnp.zeros((B, SUB, 1), jnp.int32)
+            j00 = jnp.full((B, 1, 1), VCOL, jnp.int32)
+            u, v, pm, minv, used, way, row_used, j0 = jax.lax.while_loop(
+                aug_cond, aug_body, (u, v, pm, minv0, used0, way0, row_used0, j00)
+            )
+
+            def back_cond(c):
+                j0, pm = c
+                # any(j0 != VCOL): reduce an indicator — a direct max over j0
+                # would be masked by finished images (VCOL is the max lane)
+                return jnp.max(jnp.where(is_valid & (j0 != VCOL), 1, 0)) > 0
+
+            def back_body(c):
+                j0, pm = c
+                act = is_valid & (j0 != VCOL)
+                j1 = jnp.sum(jnp.where(lane_r == j0, way, 0), axis=2, keepdims=True)
+                pj1 = jnp.sum(jnp.where(lane_r == j1, pm, 0), axis=2, keepdims=True)
+                pm = jnp.where(act & (lane_r == j0), pj1, pm)
+                j0 = jnp.where(act, j1, j0)
+                return j0, pm
+
+            _, pm = jax.lax.while_loop(back_cond, back_body, (j0, pm))
+            return u, v, pm
+
+        _, _, pm = jax.lax.fori_loop(0, M, assign_row, (u0, v0, pm0))
+
+        # ----- harvest matches (all reductions along sublanes) ---------------
+        assign = (pm == rrow + 1) & (lane != VCOL)  # [B, SUB, LANES]
+        matched = assign & (dist < tag_thr) & valid & person_lane
+        matchedf = matched.astype(jnp.float32)
+        got = jnp.sum(matchedf, axis=1, keepdims=True)  # [B, 1, LANES]
+        vals = [
+            jnp.sum(matchedf * cand[:, :, f : f + 1], axis=1, keepdims=True)
+            for f in range(F)
+        ]  # each [B, 1, LANES]
+        for f in range(F):
+            joints_lane = jnp.where(
+                (krow == idx * F + f) & (got > 0.0), vals[f], joints_lane
+            )
+        tag_sums = [tag_sums[e] + vals[3 + e] for e in range(E)]
+        tag_cnt = tag_cnt + got
+
+        # ----- new persons for unmatched valid rows ---------------------------
+        matched_row = jnp.max(matchedf, axis=2, keepdims=True)  # [B, SUB, 1]
+        new_rows = validf * (1.0 - matched_row)
+        cum = new_rows
+        for sh in (1, 2, 4, 8, 16):
+            cum = cum + jnp.where(rrow_c >= sh, pltpu.roll(cum, sh, 1), 0.0)
+        slots = (count.astype(jnp.float32) + cum - 1.0).astype(jnp.int32)  # [B, SUB, 1]
+        sel = ((slots == lane) & (new_rows > 0.0) & (lane < P)).astype(jnp.float32)
+        got_n = jnp.sum(sel, axis=1, keepdims=True)  # [B, 1, LANES]
+        vals_n = [
+            jnp.sum(sel * cand[:, :, f : f + 1], axis=1, keepdims=True)
+            for f in range(F)
+        ]
+        for f in range(F):
+            joints_lane = jnp.where(
+                (krow == idx * F + f) & (got_n > 0.0), vals_n[f], joints_lane
+            )
+        tag_sums = [
+            jnp.where(got_n > 0.0, vals_n[3 + e], tag_sums[e]) for e in range(E)
+        ]
+        tag_cnt = jnp.where(got_n > 0.0, 1.0, tag_cnt)
+        new_cnt = jnp.sum(new_rows, axis=1, keepdims=True).astype(jnp.int32)
+        count = jnp.minimum(count + new_cnt, P)
+        return joints_lane, tag_sums, tag_cnt, count
+
+    init = (
+        jnp.zeros((B, kfs, LANES), jnp.float32),  # joints, lane-major
+        [jnp.zeros((B, 1, LANES), jnp.float32) for _ in range(E)],
+        jnp.zeros((B, 1, LANES), jnp.float32),  # tag_cnt
+        jnp.zeros((B, 1, 1), jnp.int32),  # count
+    )
+    joints_lane, _, _, count = jax.lax.fori_loop(0, K, step, init)
+    joints_ref[...] = joints_lane
+    count_ref[...] = jnp.broadcast_to(count, (B, 1, LANES))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("det_thr", "tag_thr", "joints_order", "num_persons", "interpret"),
+)
+def match_by_tag_pallas_batched(
+    cand_ordered: jnp.ndarray,
+    det_thr: float = 0.1,
+    tag_thr: float = 1.0,
+    joints_order: tuple = (),
+    num_persons: int | None = None,
+    interpret: bool = False,
+):
+    """Batched-in-one-grid-cell variant of :func:`match_by_tag_pallas`.
+
+    Same args and results; prefer this on TPU — the augmenting-path loops are
+    shared across the batch (predicated per image), so decode latency scales
+    with the max iteration count over the batch instead of the sum.
+    """
+    b, k, m, f = cand_ordered.shape
+    e = f - 3
+    p = num_persons or m
+    assert m <= SUB and p <= VCOL
+    assert len(joints_order) == k
+
+    if m < SUB:  # pad candidates to the sublane tile
+        cand_ordered = jnp.concatenate(
+            [cand_ordered, jnp.zeros((b, k, SUB - m, f), cand_ordered.dtype)], axis=2
+        )
+    order_arr = jnp.zeros((1, LANES), jnp.int32).at[0, :k].set(
+        jnp.asarray(joints_order, jnp.int32)
+    )
+    kfs = -(-(k * f) // 8) * 8  # joints sublane dim padded to the f32 tile
+
+    kernel = functools.partial(
+        _match_kernel_batched,
+        B=b, K=k, M=m, E=e, F=f, P=p, det_thr=det_thr, tag_thr=tag_thr,
+    )
+    joints_lane, cnt = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((1, LANES), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k, SUB, f), lambda: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, kfs, LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, LANES), lambda: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kfs, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order_arr, cand_ordered.astype(jnp.float32))
+    # [B, K*F (sublanes), P (lanes)] -> [B, P, K, F] in XLA (tiny)
+    joints = jnp.transpose(joints_lane[:, : k * f, :p], (0, 2, 1)).reshape(b, p, k, f)
+    return joints, cnt[:, 0, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("det_thr", "tag_thr", "joints_order", "num_persons", "interpret"),

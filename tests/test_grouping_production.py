@@ -174,6 +174,38 @@ def test_pallas_match_interpret_production_candidates():
     np.testing.assert_allclose(got, ref_joints, atol=1e-4)
 
 
+def test_pallas_match_batched_interpret_production_candidates():
+    """Batched-in-one-grid-cell grouping kernel (interpret) vs the XLA scan on
+    TWO production-shape scenes with different person counts — exercises the
+    per-image predication of the shared augmenting-path loops."""
+    from human_pose_tpu.ops.pallas_match import match_by_tag_pallas_batched
+
+    order = list(grouping.JOINTS_ORDER)
+    cands, refs = [], []
+    for seed, n_persons in ((13, 14), (21, 5)):
+        kpts, tags = synth_scene(seed, n_persons=n_persons)
+        tags_k, coords_k, scores_k = grouping.top_k(
+            jnp.asarray(kpts), jnp.asarray(tags), M
+        )
+        ref_joints, ref_valid = grouping.match_by_tag(
+            tags_k, coords_k, scores_k, DET_THR, TAG_THR
+        )
+        refs.append(np.asarray(ref_joints)[np.asarray(ref_valid)])
+        cand = jnp.concatenate(
+            [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
+        )
+        cands.append(cand[jnp.asarray(order)])
+
+    joints, count = match_by_tag_pallas_batched(
+        jnp.stack(cands), det_thr=DET_THR, tag_thr=TAG_THR,
+        joints_order=tuple(order), num_persons=M, interpret=True,
+    )
+    for b, ref_joints in enumerate(refs):
+        got = np.asarray(joints[b])[: int(count[b])]
+        assert got.shape == ref_joints.shape
+        np.testing.assert_allclose(got, ref_joints, atol=1e-4)
+
+
 def test_pallas_refine_interpret_production_shape():
     """Pallas refine argmax kernel (interpret) vs the XLA refine on the
     production-shape scene."""

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from human_pose_tpu.ops import grouping
-from human_pose_tpu.ops.pallas_match import match_by_tag_pallas
+from human_pose_tpu.ops.pallas_match import match_by_tag_pallas, match_by_tag_pallas_batched
 
 
 def synth_candidates(seed, k=17, m=12, e=1, n_persons=4):
@@ -31,9 +31,10 @@ def synth_candidates(seed, k=17, m=12, e=1, n_persons=4):
     return tags, coords, scores
 
 
+@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("e", [1, 2])
-def test_pallas_match_parity(seed, e):
+def test_pallas_match_parity(seed, e, kernel):
     k, m = 17, 12
     tags, coords, scores = synth_candidates(seed, k=k, m=m, e=e)
     det_thr, tag_thr = 0.1, 1.0
@@ -51,7 +52,7 @@ def test_pallas_match_parity(seed, e):
     )  # [K, M, F]
     order = list(grouping.JOINTS_ORDER)
     cand_ordered = cand[order][None]  # [1, K, M, F]
-    joints, count = match_by_tag_pallas(
+    joints, count = kernel(
         jnp.asarray(cand_ordered), det_thr=det_thr, tag_thr=tag_thr,
         joints_order=tuple(order), num_persons=m, interpret=True,
     )
@@ -62,17 +63,19 @@ def test_pallas_match_parity(seed, e):
     np.testing.assert_allclose(joints[:count], ref_joints[:count], atol=1e-4)
 
 
-def test_pallas_match_no_candidates():
+@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+def test_pallas_match_no_candidates(kernel):
     k, m, e = 17, 8, 1
     cand = np.zeros((1, k, m, 3 + e), np.float32)
-    joints, count = match_by_tag_pallas(
+    joints, count = kernel(
         jnp.asarray(cand), det_thr=0.1, tag_thr=1.0,
         joints_order=tuple(grouping.JOINTS_ORDER), num_persons=m, interpret=True,
     )
     assert int(count[0]) == 0
 
 
-def test_pallas_match_batched():
+@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+def test_pallas_match_batched(kernel):
     k, m, e = 17, 10, 1
     scenes = [synth_candidates(s, k=k, m=m, e=e, n_persons=2 + s) for s in (5, 6)]
     cands = []
@@ -82,7 +85,7 @@ def test_pallas_match_batched():
         )
         cands.append(cand[list(grouping.JOINTS_ORDER)])
     batch = jnp.asarray(np.stack(cands))
-    joints, count = match_by_tag_pallas(
+    joints, count = kernel(
         batch, det_thr=0.1, tag_thr=1.0,
         joints_order=tuple(grouping.JOINTS_ORDER), num_persons=m, interpret=True,
     )
