@@ -30,7 +30,11 @@ def main() -> None:
         if tok.startswith("--iters="):
             iters = int(tok.split("=")[1])
         if tok.startswith("--remat="):
-            remat = tok.split("=")[1].lower() == "true"
+            val = tok.split("=")[1].lower()
+            if val in ("true", "false"):
+                remat = val == "true"
+            else:  # comma-separated stage indices, e.g. --remat=0 or --remat=0,4
+                remat = tuple(int(v) for v in val.split(",") if v)
 
     from human_pose_tpu.models import HigherHRNet
     from human_pose_tpu.parallel import make_mesh, replicate, shard_batch

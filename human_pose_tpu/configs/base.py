@@ -68,6 +68,9 @@ class TrainerConfig:
     use_DDP: bool = True  # data-parallel over the device mesh
     sync_batchnorm: bool = False
     use_compile: bool = False  # everything is jit-compiled; kept for config compat
+    # "flax" = single-file msgpack; "orbax" = directory-based, per-array
+    # parallel IO, multi-host sharded save/restore (train/checkpoint_orbax.py)
+    ckpt_backend: str = "flax"
 
 
 @dataclass
@@ -243,4 +246,5 @@ class BaseConfig:
             max_epochs=self.trainer.max_epochs,
             limit_batches=self.trainer.limit_batches,
             log_path=self.log_path,
+            ckpt_backend=self.trainer.ckpt_backend,
         )

@@ -65,16 +65,26 @@ class HigherHRNet(nn.Module):
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
     num_deconv_resid_blocks: int = 4
-    remat: bool = False
+    # False / True / tuple of indices: 0-3 = backbone stages (see
+    # HRNetBackbone.remat), 4 = the deconv head (256^2 x 32ch activations)
+    remat: bool | tuple = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
+        backbone_remat = (
+            self.remat if isinstance(self.remat, bool)
+            else tuple(s for s in self.remat if s < 4)
+        )
+        deconv_remat = (
+            self.remat if isinstance(self.remat, bool) else 4 in self.remat
+        )
         feats = HRNetBackbone(
             self.C, final_stage_single_scale=True,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            remat=self.remat, bn_groups=self.bn_groups, dtype=self.dtype, name="backbone",
+            remat=backbone_remat, bn_groups=self.bn_groups, dtype=self.dtype,
+            name="backbone",
         )(images, train)[0]
 
         init_heatmaps = nn.Conv(
@@ -82,7 +92,12 @@ class HigherHRNet(nn.Module):
         )(feats)
 
         deconv_in = jnp.concatenate([feats, init_heatmaps], axis=-1)
-        _, deconv_heatmaps = DeconvHeatmapsHead(
+        HeadCls = (
+            nn.remat(DeconvHeatmapsHead, static_argnums=(2,))
+            if deconv_remat
+            else DeconvHeatmapsHead
+        )
+        _, deconv_heatmaps = HeadCls(
             self.C, self.num_kpts, num_resid_blocks=self.num_deconv_resid_blocks,
             bn_groups=self.bn_groups, dtype=self.dtype, name="deconv0",
         )(deconv_in, train)

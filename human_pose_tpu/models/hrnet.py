@@ -299,10 +299,16 @@ class HRNetBackbone(nn.Module):
     # (useful for tests and ablations); the scale topology is unchanged.
     num_blocks_per_stage: Sequence[int] = (1, 1, 4, 3)
     num_units: int = 4
-    # rematerialize each stage on the backward pass: trades ~25% step time for
-    # storing activations only at stage boundaries (jax.checkpoint), enabling
-    # the reference's bs-36 @512 training shape within v5e HBM
-    remat: bool = False
+    # rematerialize stages on the backward pass (jax.checkpoint), storing
+    # activations only at stage boundaries, to fit the reference's bs-36 @512
+    # training shape within v5e HBM. Accepts:
+    #   False      — no remat (fastest; OOMs at bs36 @512 on a 16 GB chip)
+    #   True       — remat every stage (blanket; ~16% step-time cost)
+    #   (0,)       — remat selected stage indices only. Stage 1 (index 0, the
+    #                bottleneck stage: 4 units of 128^2 x 256ch activations)
+    #                holds the largest activations per FLOP — rematting it
+    #                alone fits bs36 with ~2% recompute cost.
+    remat: bool | tuple = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -324,13 +330,17 @@ class HRNetBackbone(nn.Module):
             (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
             (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
         ]
-        StageCls = (
-            nn.remat(HighResolutionStage, static_argnums=(2,))
-            if self.remat
-            else HighResolutionStage
+        remat_stages = (
+            tuple(range(len(config))) if self.remat is True
+            else tuple(self.remat) if self.remat else ()
         )
         xs = x
         for s, (nb, nu, bt, in_ch, out_ch) in enumerate(config):
+            StageCls = (
+                nn.remat(HighResolutionStage, static_argnums=(2,))
+                if s in remat_stages
+                else HighResolutionStage
+            )
             xs = StageCls(
                 nb, nu, bt, in_ch, out_ch,
                 is_final_stage=s == len(config) - 1,

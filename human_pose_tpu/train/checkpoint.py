@@ -85,7 +85,14 @@ def load_params_partial(params: Any, ckpt_path: str | Path) -> Any:
     (reference src/base/model.py:104-129): leaves present in both trees with
     matching shapes are taken from the checkpoint, the rest keep their fresh
     initialization. The checkpoint may be a trainer-state file (params are
-    unwrapped from ckpt['module']) or a bare params file."""
+    unwrapped from ckpt['module']), a bare params file, or an orbax
+    checkpoint directory."""
+    from .checkpoint_orbax import is_orbax_checkpoint
+
+    if is_orbax_checkpoint(ckpt_path):
+        from . import checkpoint_orbax
+
+        return checkpoint_orbax.load_params_partial(params, ckpt_path)
     ckpt = load_checkpoint(ckpt_path)
     if "module" in ckpt:
         template = jax.device_get({"params": params})

@@ -53,6 +53,7 @@ class Trainer:
         log_every_n_steps: int = 50,
         run_sanity_check: bool = False,
         log_path: str | Path = "results/run",
+        ckpt_backend: str = "flax",
     ):
         self.logger = logger
         self.callbacks = Callbacks(callbacks)
@@ -61,6 +62,7 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.run_sanity_check = run_sanity_check
         self.log_path = Path(log_path)
+        self.ckpt_backend = ckpt_backend
         self.ckpt_dir = self.log_path / "checkpoints"
         self.storage = MetricsStorage()
         self.meters = {"train": Meters(), "val": Meters()}
@@ -198,8 +200,16 @@ class Trainer:
 
     # -- checkpointing ---------------------------------------------------------
     def save_checkpoint(self, path: str | Path) -> None:
-        if is_main_process():
-            save_checkpoint(
+        if self.ckpt_backend == "orbax":
+            from . import checkpoint_orbax
+
+            save_fn = checkpoint_orbax.save_checkpoint
+        else:
+            save_fn = save_checkpoint
+        # NOTE orbax saves run on ALL processes (each host writes its own
+        # array shards); the flax backend gathers to the main process
+        if is_main_process() or self.ckpt_backend == "orbax":
+            save_fn(
                 path,
                 self.module.state,
                 epoch=self.current_epoch,
@@ -216,8 +226,16 @@ class Trainer:
         barrier("save_checkpoint")
 
     def load_checkpoint(self, path: str | Path) -> int:
-        ckpt = load_checkpoint(path)
-        self.module.state = load_train_state(self.module.state, ckpt)
+        from .checkpoint_orbax import is_orbax_checkpoint
+
+        if is_orbax_checkpoint(path):  # auto-detect, independent of backend
+            from . import checkpoint_orbax
+
+            ckpt = checkpoint_orbax.load_checkpoint(path)
+            self.module.state = checkpoint_orbax.load_train_state(self.module.state, ckpt)
+        else:
+            ckpt = load_checkpoint(path)
+            self.module.state = load_train_state(self.module.state, ckpt)
         dm_state = ckpt.get("datamodule") or {}
         if "schedulers" in dm_state:
             self.module.load_schedulers_state_dict(dm_state.pop("schedulers"))

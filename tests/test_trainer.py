@@ -117,6 +117,54 @@ def test_resume_from_checkpoint(run_dir):
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+def test_orbax_checkpoint_roundtrip(run_dir):
+    """Orbax backend: save/restore TrainState + host payload + partial load,
+    and Trainer.load_checkpoint auto-detects the directory format."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_pose_tpu.train import checkpoint_orbax as co
+    from human_pose_tpu.train.checkpoint import load_params_partial
+
+    trainer, module, dm = make_parts(run_dir, max_epochs=1)
+    state = module.state
+    state = state.replace(step=state.step + 5)
+    path = run_dir / "checkpoints" / "last.pt"
+    co.save_checkpoint(
+        path, state, epoch=3,
+        datamodule_state={"seed": 0}, metrics_state=None,
+        callbacks_state=None, logger_state=None,
+    )
+    assert co.is_orbax_checkpoint(path)
+
+    ckpt = co.load_checkpoint(path)
+    assert ckpt["epoch"] == 3 and ckpt["step"] == 5
+    assert ckpt["datamodule"] == {"seed": 0}
+
+    # restore into a template with different values
+    zeroed = state.replace(
+        step=jnp.zeros_like(state.step),
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params),
+    )
+    restored = co.load_train_state(zeroed, ckpt)
+    assert int(restored.step) == 5
+    ok = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        restored.params, state.params,
+    )
+    assert all(jax.tree_util.tree_leaves(ok))
+
+    # name-intersection partial load through the flax front-end dispatcher
+    partial = load_params_partial(
+        jax.tree_util.tree_map(jnp.zeros_like, state.params), path
+    )
+    ok = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        partial, jax.device_get(state.params),
+    )
+    assert all(jax.tree_util.tree_leaves(ok))
+
+
 def test_limit_batches_debug_mode(run_dir):
     trainer, module, dm = make_parts(run_dir)
     trainer.limit_batches = 1
