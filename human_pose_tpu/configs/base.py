@@ -16,7 +16,12 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-from ..loggers.loggers import FileTrackerLogger, Loggers, TerminalLogger
+from ..loggers.loggers import (
+    FileTrackerLogger,
+    Loggers,
+    MlflowFileLogger,
+    TerminalLogger,
+)
 from ..loggers.pylogger import add_file_handler, log, set_device_tag
 from ..utils.files import load_yaml
 from ..utils.utils import get_rank, is_main_process, seed_everything
@@ -84,6 +89,10 @@ class SetupConfig:
     ckpt_path: str | None = None
     pretrained_ckpt_path: str | None = None
     deterministic: bool = False
+    # "file" = FileTrackerLogger; "mlflow" = MlflowFileLogger, which writes
+    # the MLflow FileStore layout (browsable by `mlflow ui`) with no server —
+    # the reference requires a live mlflow server (src/logger/loggers.py:266)
+    tracker: str = "file"
 
 
 @dataclass
@@ -228,8 +237,11 @@ class BaseConfig:
         return default_callbacks()
 
     def create_logger(self) -> Loggers:
+        tracker_cls = (
+            MlflowFileLogger if self.setup.tracker == "mlflow" else FileTrackerLogger
+        )
         return Loggers(
-            [TerminalLogger(self.log_path), FileTrackerLogger(
+            [TerminalLogger(self.log_path), tracker_cls(
                 self.log_path, self.setup.experiment_name, str(self.setup.run_name)
             )],
             self.log_path,

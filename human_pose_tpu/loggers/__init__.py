@@ -6,7 +6,7 @@ from .pylogger import (
     logged_tqdm,
     log_breaking_point,
 )
-from .loggers import Loggers, BaseLogger, TerminalLogger, FileTrackerLogger, Status
+from .loggers import Loggers, BaseLogger, TerminalLogger, FileTrackerLogger, MlflowFileLogger, Status
 from .monitoring import SystemMetricsMonitor, TpuInfoMonitor, collect_sample
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "BaseLogger",
     "TerminalLogger",
     "FileTrackerLogger",
+    "MlflowFileLogger",
     "Status",
     "SystemMetricsMonitor",
     "TpuInfoMonitor",

@@ -19,6 +19,7 @@ import enum
 import json
 import shutil
 import time
+import uuid
 from pathlib import Path
 
 from ..utils.files import save_yaml
@@ -126,6 +127,154 @@ class FileTrackerLogger(BaseLogger):
         for f in self._metrics_files.values():
             f.close()
         self._metrics_files.clear()
+
+    def state_dict(self) -> dict:
+        return {"run_id": self.run_id}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.run_id = state.get("run_id", self.run_id)
+
+
+class MlflowFileLogger(BaseLogger):
+    """MLFlow backend without the mlflow package: writes the MLflow FileStore
+    on-disk format directly, so a real ``mlflow ui --backend-store-uri
+    <store_dir>`` can browse the runs as-is.
+
+    Counterpart of the reference's MLFlowLogger (src/logger/loggers.py:231-371)
+    with the same capabilities mapped to the file store:
+    * experiment by name, created on first use (reference start_run,
+      loggers.py:285-292)
+    * resume-by-run-name: reattaches to an existing run with the same
+      ``mlflow.runName`` tag instead of starting a new one (reference
+      loggers.py:296-305 search_runs path)
+    * metrics as ``metrics/<name>`` append files (one ``ts_ms value step``
+      line per point — the FileStore wire format), params/tags as one file
+      per key, artifacts copied under ``artifacts/``
+    * terminal status recorded in the run meta (RUNNING/FINISHED/FAILED/
+      KILLED, reference loggers.py finalize)
+
+    The reference needs a live tracking server and warns it cannot even check
+    one is up (loggers.py:266-283); the file store has no such failure mode.
+    """
+
+    # MLflow RunStatus enum values used by the FileStore meta.yaml
+    _STATUS = {"RUNNING": 1, "FINISHED": 3, "FAILED": 4, "KILLED": 5}
+
+    def __init__(
+        self,
+        log_path: str | Path,
+        experiment_name: str = "exp",
+        run_name: str = "run",
+        store_dir: str | Path | None = None,
+        run_id: str | None = None,
+        resume: bool = True,
+        description: str = "",
+    ):
+        super().__init__(log_path, experiment_name, run_name)
+        self.store_dir = Path(store_dir) if store_dir else self.log_path / "mlruns"
+        exp_id = self._ensure_experiment(experiment_name)
+        self.experiment_id = exp_id
+        if run_id is None and resume:
+            run_id = self._find_run_by_name(run_name)
+        self.run_id = run_id or uuid.uuid4().hex
+        self.run_dir = self.store_dir / exp_id / self.run_id
+        for d in ("metrics", "params", "tags", "artifacts"):
+            (self.run_dir / d).mkdir(parents=True, exist_ok=True)
+        self._write_run_meta(Status.RUNNING)
+        (self.run_dir / "tags" / "mlflow.runName").write_text(run_name)
+        if description:
+            (self.run_dir / "tags" / "mlflow.note.content").write_text(description)
+
+    def _now_ms(self) -> int:
+        return int(time.time() * 1000)
+
+    def _ensure_experiment(self, name: str) -> str:
+        # experiment ids are numeric strings in the FileStore; scan for an
+        # existing meta.yaml with this name, else allocate the next id
+        self.store_dir.mkdir(parents=True, exist_ok=True)
+        ids = []
+        for d in self.store_dir.iterdir():
+            if not d.is_dir() or not d.name.isdigit():
+                continue
+            ids.append(int(d.name))
+            meta = d / "meta.yaml"
+            if meta.exists() and f"name: {name}" in meta.read_text():
+                return d.name
+        exp_id = str(max(ids) + 1 if ids else 0)
+        exp_dir = self.store_dir / exp_id
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        now = self._now_ms()
+        (exp_dir / "meta.yaml").write_text(
+            f"artifact_location: {exp_dir.resolve().as_uri()}\n"
+            f"creation_time: {now}\n"
+            f"experiment_id: '{exp_id}'\n"
+            f"last_update_time: {now}\n"
+            "lifecycle_stage: active\n"
+            f"name: {name}\n"
+        )
+        return exp_id
+
+    def _find_run_by_name(self, run_name: str) -> str | None:
+        exp_dir = self.store_dir / self.experiment_id
+        for d in sorted(exp_dir.iterdir()) if exp_dir.exists() else []:
+            tag = d / "tags" / "mlflow.runName"
+            if tag.exists() and tag.read_text() == run_name:
+                return d.name
+        return None
+
+    def _write_run_meta(self, status: Status, end_time: int | None = None) -> None:
+        now = self._now_ms()
+        (self.run_dir / "meta.yaml").write_text(
+            f"artifact_uri: {(self.run_dir / 'artifacts').resolve().as_uri()}\n"
+            f"end_time: {end_time if end_time is not None else 'null'}\n"
+            "entry_point_name: ''\n"
+            f"experiment_id: '{self.experiment_id}'\n"
+            "lifecycle_stage: active\n"
+            f"run_id: {self.run_id}\n"
+            f"run_name: {self.run_name}\n"
+            f"run_uuid: {self.run_id}\n"
+            "source_name: ''\n"
+            "source_type: 4\n"
+            "source_version: ''\n"
+            f"start_time: {now if end_time is None else ''}\n"
+            f"status: {self._STATUS[status.value]}\n"
+            "user_id: ''\n"
+        )
+
+    def log_metrics(self, metrics: dict, step: int, split: str = "train") -> None:
+        ts = self._now_ms()
+        for name, value in metrics.items():
+            # FileStore forbids path separators in metric keys; mirror
+            # mlflow's own convention of flat "<split>_<name>" keys
+            key = f"{split}_{name}".replace("/", "_")
+            with open(self.run_dir / "metrics" / key, "a") as f:
+                f.write(f"{ts} {float(value)} {int(step)}\n")
+
+    def log_params(self, params: dict) -> None:
+        def flat(d, prefix=""):
+            for k, v in d.items():
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    yield from flat(v, f"{key}.")
+                else:
+                    yield key, v
+
+        for key, value in flat(params):
+            (self.run_dir / "params" / key.replace("/", "_")).write_text(str(value))
+
+    def log_artifact(self, path: str | Path, dst_subdir: str = "") -> None:
+        src = Path(path)
+        if not src.exists():
+            return
+        dst = self.run_dir / "artifacts" / dst_subdir
+        dst.mkdir(parents=True, exist_ok=True)
+        if src.is_dir():
+            shutil.copytree(src, dst / src.name, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst / src.name)
+
+    def finalize(self, status: Status) -> None:
+        self._write_run_meta(status, end_time=self._now_ms())
 
     def state_dict(self) -> dict:
         return {"run_id": self.run_id}

@@ -19,6 +19,7 @@ from ..loggers.monitoring import SystemMetricsMonitor
 from ..loggers.pylogger import log
 from ..utils.files import save_yaml
 from ..utils.utils import is_main_process
+from .html_plots import plot_metrics_html, plot_system_monitoring_html
 from .visualization import plot_metrics, plot_system_monitoring
 
 
@@ -95,9 +96,13 @@ class SaveModelCheckpoint(BaseCallback):
 
 
 class MetricsPlotterCallback(BaseCallback):
+    """Saves the jpg + interactive html metric plots (reference
+    callbacks.py:258-261 saves matplotlib jpg + plotly html)."""
+
     def on_epoch_end(self, trainer) -> None:
         epochs = trainer.storage.aggregate_over_key("epoch")
         plot_metrics(epochs, trainer.log_path / "epoch_metrics.jpg", "epoch")
+        plot_metrics_html(epochs, trainer.log_path / "epoch_metrics.html", "epoch")
 
     on_validation_end = on_epoch_end
 
@@ -152,6 +157,9 @@ class SystemMetricsMonitoringCallback(BaseCallback):
     def on_epoch_end(self, trainer) -> None:
         plot_system_monitoring(
             self.monitor.storage, trainer.log_path / "system_monitoring.jpg"
+        )
+        plot_system_monitoring_html(
+            self.monitor.storage, trainer.log_path / "system_monitoring.html"
         )
 
     def on_failure(self, trainer, status: Status) -> None:
