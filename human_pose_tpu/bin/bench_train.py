@@ -1,12 +1,20 @@
 """Training-step throughput benchmark (BASELINE.json config: "HigherHRNet-W32
 COCO training (heatmap+AE loss, crowd masks) data-parallel").
 
-Measures the jitted keypoints train step — forward, crowd-masked heatmap MSE +
+Measures the keypoints train step — forward, crowd-masked heatmap MSE +
 AE push/pull, backward, Adam update — at the reference's training shape
 (bs 36 @ 512, experiments/keypoints/higher_hrnet_32.yaml) on the local
 device(s). Usage:
 
-    python -m human_pose_tpu.bin.bench_train [--batch=36] [--size=512] [--iters=5]
+    python -m human_pose_tpu.bin.bench_train [--batch=36] [--size=512] \
+        [--iters=5] [--remat=false|true|0,4]
+
+Measurement: N steps inside ONE jitted fori_loop with the state threading
+through and the batch synthesized on-device per iteration. This matches the
+memory profile of real training, where batch buffers arrive fresh from the
+host and are donated to the step (train/steps.py) — a loop-invariant batch
+would stay pinned in HBM and OOM shapes that real training fits. It also
+keeps the axon tunnel's per-dispatch latency out of the numbers (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -17,11 +25,16 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main() -> None:
-    batch, size, iters, remat = 36, 512, 5, True
+    # (1, 4) — stage 1 + deconv head — is the measured-fitting remat config at
+    # bs36 @512 on v5e (16 GB): no-remat and stem-only OOM at compile
+    # accounting by ~270 MB; (0,) and (4,) pass compile accounting but die at
+    # RUNTIME with ResourceExhausted (the runtime reserves ~0.3 GB the AOT
+    # accounting does not), so treat compile-time fit with <300 MB slack as
+    # not fitting.
+    batch, size, iters, remat = 36, 512, 5, (1, 4)
     for tok in sys.argv[1:]:
         if tok.startswith("--batch="):
             batch = int(tok.split("=")[1])
@@ -37,9 +50,9 @@ def main() -> None:
                 remat = tuple(int(v) for v in val.split(",") if v)
 
     from human_pose_tpu.models import HigherHRNet
-    from human_pose_tpu.parallel import make_mesh, replicate, shard_batch
+    from human_pose_tpu.parallel import make_mesh, replicate
     from human_pose_tpu.train import TrainState, create_optimizer
-    from human_pose_tpu.train.steps import keypoints_train_step
+    from human_pose_tpu.train.steps import keypoints_train_step_body
 
     model = HigherHRNet(num_kpts=17, C=32, remat=remat, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -52,33 +65,47 @@ def main() -> None:
     if mesh is not None:
         state = replicate(mesh, state)
 
-    rs = np.random.RandomState(0)
     k, p = 17, 30
-    batch_data = {
-        "images": rs.rand(batch, size, size, 3).astype(np.float32),
-        "heatmaps": [
-            rs.rand(batch, size // 4, size // 4, k).astype(np.float32),
-            rs.rand(batch, size // 2, size // 2, k).astype(np.float32),
-        ],
-        "masks": [
-            np.ones((batch, size // 4, size // 4), np.float32),
-            np.ones((batch, size // 2, size // 2), np.float32),
-        ],
-        "joints": rs.randint(0, size // 4, (batch, p, k, 3)).astype(np.int32),
-    }
-    batch_data = (
-        shard_batch(mesh, batch_data) if mesh is not None
-        else jax.tree_util.tree_map(jnp.asarray, batch_data)
-    )
 
-    # warmup/compile, then iterate with the state threading through (an honest
-    # dependent chain); sync by fetching the final loss
-    state, metrics = keypoints_train_step(state, batch_data, 1e-3)
-    _ = float(metrics["loss"])
+    def synth_batch(i):
+        """Cheap deterministic on-device batch, distinct per iteration — lives
+        only inside the step like a donated host batch would."""
+        f = jnp.float32(i)
+
+        def ramp(shape, scale):
+            n = 1
+            for d in shape:
+                n *= d
+            v = jnp.arange(n, dtype=jnp.float32) * (scale / n) + f * 1e-3
+            return v.reshape(shape)
+
+        return {
+            "images": ramp((batch, size, size, 3), 1.0),
+            "heatmaps": [
+                ramp((batch, size // 4, size // 4, k), 1.0),
+                ramp((batch, size // 2, size // 2, k), 1.0),
+            ],
+            "masks": [
+                jnp.ones((batch, size // 4, size // 4), jnp.float32),
+                jnp.ones((batch, size // 2, size // 2), jnp.float32),
+            ],
+            "joints": jnp.ones((batch, p, k, 3), jnp.int32),
+        }
+
+    @jax.jit
+    def many(state):
+        def body(i, carry):
+            state, _ = carry
+            state, metrics = keypoints_train_step_body(state, synth_batch(i), 1e-3)
+            return state, metrics["loss"]
+
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+
+    state, loss = many(state)  # compile + warmup
+    _ = float(loss)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = keypoints_train_step(state, batch_data, 1e-3)
-    loss = float(metrics["loss"])
+    state, loss = many(state)
+    loss = float(loss)
     dt = time.perf_counter() - t0
     print(
         json.dumps(

@@ -65,8 +65,9 @@ class HigherHRNet(nn.Module):
     num_blocks_per_stage: tuple = (1, 1, 4, 3)
     num_units: int = 4
     num_deconv_resid_blocks: int = 4
-    # False / True / tuple of indices: 0-3 = backbone stages (see
-    # HRNetBackbone.remat), 4 = the deconv head (256^2 x 32ch activations)
+    # False / True / tuple of indices: 0-3 = backbone stages, 5 = the stem
+    # (see HRNetBackbone.remat), 4 = the deconv head (256^2 x 32ch
+    # activations)
     remat: bool | tuple = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
@@ -75,7 +76,7 @@ class HigherHRNet(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False):
         backbone_remat = (
             self.remat if isinstance(self.remat, bool)
-            else tuple(s for s in self.remat if s < 4)
+            else tuple(s for s in self.remat if s != 4)
         )
         deconv_remat = (
             self.remat if isinstance(self.remat, bool) else 4 in self.remat

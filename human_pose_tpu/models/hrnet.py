@@ -308,6 +308,10 @@ class HRNetBackbone(nn.Module):
     #                bottleneck stage: 4 units of 128^2 x 256ch activations)
     #                holds the largest activations per FLOP — rematting it
     #                alone fits bs36 with ~2% recompute cost.
+    #   (5,)       — index 5 remats the STEM (two stride-2 convs): its saved
+    #                256^2 x 64ch output is the single largest backward
+    #                allocation at bs36 (640 MB stored — XLA pads C 64->128
+    #                lanes, 2.2x), and recompute is two cheap convs.
     remat: bool | tuple = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
@@ -317,9 +321,25 @@ class HRNetBackbone(nn.Module):
         C = self.C
         C2, C4, C8 = 2 * C, 4 * C, 8 * C
         g = self.bn_groups
-        # stem: two stride-2 3x3 convs 3->64->64 (reference hrnet.py:354-358)
-        x = ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g, dtype=self.dtype, name="stem2")(x, train)
+        remat_sel = (
+            tuple(range(6)) if self.remat is True
+            else tuple(self.remat) if self.remat else ()
+        )
+
+        # stem: two stride-2 3x3 convs 3->64->64 (reference hrnet.py:354-358).
+        # As a function-level lifted transform target so remat covers BOTH
+        # convs as one region (per-conv remat would still save stem1's output
+        # as stem2's input) while keeping the stem1/stem2 param paths.
+        def stem_fn(mdl, x, train):
+            x = ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g,
+                       dtype=mdl.dtype, name="stem1")(x, train)
+            return ConvBN(64, kernel=3, stride=2, relu=True, bn_groups=g,
+                          dtype=mdl.dtype, name="stem2")(x, train)
+
+        if 5 in remat_sel:
+            x = nn.remat(stem_fn, static_argnums=(2,))(self, x, train)
+        else:
+            x = stem_fn(self, x, train)
 
         nb = self.num_blocks_per_stage
         nu = self.num_units
@@ -330,15 +350,11 @@ class HRNetBackbone(nn.Module):
             (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
             (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
         ]
-        remat_stages = (
-            tuple(range(len(config))) if self.remat is True
-            else tuple(self.remat) if self.remat else ()
-        )
         xs = x
         for s, (nb, nu, bt, in_ch, out_ch) in enumerate(config):
             StageCls = (
                 nn.remat(HighResolutionStage, static_argnums=(2,))
-                if s in remat_stages
+                if s in remat_sel
                 else HighResolutionStage
             )
             xs = StageCls(

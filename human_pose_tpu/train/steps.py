@@ -96,10 +96,9 @@ def _keypoints_losses(out, batch):
     return total, metrics
 
 
-@functools.partial(jax.jit, donate_argnames=("state",))
-def keypoints_train_step(state: TrainState, batch: dict, lr):
-    """batch: images [N,H,W,3], heatmaps list([N,h,w,K] per stage),
-    masks list([N,h,w]), joints [N,P,K,3] int32 (1/4-res coords)."""
+def keypoints_train_step_body(state: TrainState, batch: dict, lr):
+    """Unjitted step body — used by the jitted step below and by benchmark
+    harnesses that trace it inside a fori_loop."""
 
     def loss_fn(params):
         out, new_stats = _apply_train(state.replace(params=params), batch["images"])
@@ -114,6 +113,18 @@ def keypoints_train_step(state: TrainState, batch: dict, lr):
         step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
     )
     return new_state, metrics
+
+
+@functools.partial(jax.jit, donate_argnames=("state", "batch"))
+def keypoints_train_step(state: TrainState, batch: dict, lr):
+    """batch: images [N,H,W,3], heatmaps list([N,h,w,K] per stage),
+    masks list([N,h,w]), joints [N,P,K,3] int32 (1/4-res coords).
+
+    The batch buffers are DONATED: each training batch is freshly transferred
+    from the host loader, and releasing its ~360 MB (bs36 @512) during the
+    step is what lets the no-remat backward fit in v5e HBM. Do not reuse a
+    batch dict across calls."""
+    return keypoints_train_step_body(state, batch, lr)
 
 
 @jax.jit
