@@ -1,0 +1,94 @@
+"""Incremental decode-stage profiler (TPU, fori_loop harness).
+
+Times cumulative prefixes of the decode pipeline on uniform-noise maps so the
+differences give per-stage cost: resize | +nms+topk | +grouping | +adjust |
++refine (= full decode_batch).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH, ITERS, SIZE, K, M = 8, 10, 512, 17, 30
+
+
+def timed(fn, *args):
+    @jax.jit
+    def many(*args):
+        def body(i, acc):
+            return acc + fn(i, *args)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    float(many(*args))
+    t0 = time.perf_counter()
+    float(many(*args))
+    return (time.perf_counter() - t0) / (BATCH * ITERS) * 1e3
+
+
+def main():
+    from human_pose_tpu.ops.heatmaps import average_stages, resize_bilinear
+    from human_pose_tpu.ops import grouping as G
+
+    rngs = jax.random.split(jax.random.PRNGKey(3), 3)
+    hq, hh = SIZE // 4, SIZE // 2
+    nz_q = jax.random.uniform(rngs[0], (BATCH, hq, hq, K))
+    nz_h = jax.random.uniform(rngs[1], (BATCH, hh, hh, K))
+    nz_t = jax.random.normal(rngs[2], (BATCH, hq, hq, K))
+
+    def prep(i):
+        jit = jnp.float32(i) * 1e-6
+        avg = average_stages([nz_q + jit, nz_h + jit])
+        avg = resize_bilinear(avg, SIZE, SIZE)
+        tags = jnp.stack([resize_bilinear(nz_t + jit, SIZE, SIZE)], axis=-1)
+        kpts = jnp.transpose(avg, (0, 3, 1, 2))
+        tgs = jnp.transpose(tags, (0, 3, 1, 2, 4))
+        return kpts, tgs
+
+    def s_resize(i, *a):
+        kpts, tgs = prep(i)
+        return kpts.sum() + tgs.sum() * 0
+
+    def s_topk(i, *a):
+        kpts, tgs = prep(i)
+        tags_k, coords_k, scores_k = jax.vmap(lambda kh, th: G.top_k(kh, th, M))(kpts, tgs)
+        return scores_k.sum() + tags_k.sum() * 0 + jnp.float32(coords_k.sum()) * 0
+
+    def group(kpts, tgs):
+        tags_k, coords_k, scores_k = jax.vmap(lambda kh, th: G.top_k(kh, th, M))(kpts, tgs)
+        from human_pose_tpu.ops.pallas_match import match_by_tag_pallas_batched
+        cand = jnp.concatenate(
+            [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1)
+        order = G.JOINTS_ORDER[:K]
+        cand_ordered = cand[:, jnp.asarray(order)]
+        grouped, count = match_by_tag_pallas_batched(
+            cand_ordered, det_thr=0.05, tag_thr=0.5, joints_order=tuple(order),
+            num_persons=M)
+        return grouped, count, kpts, tgs
+
+    def s_group(i, *a):
+        grouped, count, _, _ = group(*prep(i))
+        return grouped.sum() + jnp.float32(count.sum()) * 0
+
+    def s_adjust(i, *a):
+        grouped, count, kpts, _ = group(*prep(i))
+        grouped = jax.vmap(G.adjust)(grouped, kpts)
+        return grouped.sum()
+
+    def s_full(i, *a):
+        from human_pose_tpu.ops import decode_batch
+        jit = jnp.float32(i) * 1e-6
+        _, scores, _ = decode_batch(
+            [nz_q + jit, nz_h + jit], [nz_t + jit], input_hw=(SIZE, SIZE),
+            max_num_people=M, det_thr=0.05, tag_thr=0.5)
+        return scores.sum()
+
+    for name, fn in [("resize", s_resize), ("+nms_topk", s_topk),
+                     ("+grouping", s_group), ("+adjust", s_adjust),
+                     ("full", s_full)]:
+        print(json.dumps({"stage": name, "cum_ms_per_img": round(timed(fn), 3)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Microbenchmark: is a 3x3 C=32 conv at 256^2 faster in space-to-depth form?
+
+Hypothesis (TODO.md lane-packing item): C=32 convs fill <=32/128 MXU lanes;
+repacking 2x2 pixel blocks into channels (H/2, W/2, 4C=128) with an
+equivalent sparse 3x3 kernel runs the same math at full lane width, 4x the
+nominal FLOPs but ~4x better utilization -> net win expected.
+
+Also times the exact-equivalence construction: out == s2d^-1(conv_s2d(s2d(x)))
+up to float assoc. Chain of 8 convs (the deconv-head shape) to amortize
+boundary effects, fori_loop-timed.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B, H, W, C, ITERS, CHAIN = 8, 256, 256, 32, 20, 8
+
+
+def timed(fn, *args):
+    @jax.jit
+    def many(*args):
+        def body(i, acc):
+            return acc + fn(i, *args)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    float(many(*args))
+    t0 = time.perf_counter()
+    float(many(*args))
+    return (time.perf_counter() - t0) / (B * ITERS) * 1e3
+
+
+def s2d(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]; phase-major channel layout
+    (a, b, c) with a=row phase, b=col phase."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def make_s2d_kernel(w33):
+    """Build the sparse 3x3 S2D kernel equivalent to 3x3 conv w33 [3,3,C,C].
+
+    out phase (a,b) at block (i,j) = sum_{dy,dx} w[dy+1,dx+1] *
+    x[2i+a+dy, 2j+b+dx]. Source pixel row 2i+a+dy = 2(i+q) + p with
+    q = (a+dy+2)//2 - 1, p = (a+dy) % 2; block offset q in {-1,0,1}.
+    """
+    c = w33.shape[2]
+    k = np.zeros((3, 3, 4 * c, 4 * c), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    qy, py = (a + dy + 2) // 2 - 1, (a + dy) % 2
+                    qx, px = (b + dx + 2) // 2 - 1, (b + dx) % 2
+                    # kernel tap (qy+1, qx+1): in-channel block (py,px),
+                    # out-channel block (a,b)
+                    ci = (py * 2 + px) * c
+                    co = (a * 2 + b) * c
+                    k[qy + 1, qx + 1, ci : ci + c, co : co + c] += w33[dy + 1, dx + 1]
+    return jnp.asarray(k)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    ws = [rng.randn(3, 3, C, C).astype(np.float32) * 0.05 for _ in range(CHAIN)]
+    ws_b = [jnp.asarray(w, jnp.bfloat16) for w in ws]
+    ws_s2d = [make_s2d_kernel(w).astype(jnp.bfloat16) for w in ws]
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    xs = s2d(x)
+
+    # numerical equivalence check (fp32)
+    xf = jnp.asarray(np.asarray(x), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        xf, jnp.asarray(ws[0]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(
+        s2d(xf), make_s2d_kernel(ws[0]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    err = float(jnp.abs(s2d(ref) - got).max())
+    print(json.dumps({"check": "s2d_conv_equivalence", "max_abs_err": err}), flush=True)
+
+    def chain_plain(i, x):
+        y = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        for w in ws_b:
+            y = jax.lax.conv_general_dilated(
+                y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jnp.maximum(y, 0)
+        return jnp.float32(y.sum())
+
+    def chain_s2d(i, x):
+        y = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        for w in ws_s2d:
+            y = jax.lax.conv_general_dilated(
+                y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jnp.maximum(y, 0)
+        return jnp.float32(y.sum())
+
+    print(json.dumps({"stage": "plain_c32_256", "ms_per_img": round(timed(chain_plain, x), 4)}), flush=True)
+    print(json.dumps({"stage": "s2d_c128_128", "ms_per_img": round(timed(chain_s2d, xs), 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

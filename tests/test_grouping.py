@@ -1,6 +1,7 @@
 """Parity tests: jittable JAX decode vs the NumPy oracle of the reference
 semantics (tests/oracle_decode.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -89,3 +90,27 @@ def test_parse_flip_embedding_dim():
     ref_joints, ref_scores = oracle.parse_np(kpts, tags, max_num_people=6)
     v = np.asarray(valid)
     np.testing.assert_allclose(np.asarray(joints)[v], ref_joints, atol=1e-4)
+
+
+def test_chunked_top_k_exact_vs_lax_top_k():
+    """Hierarchical chunk-max top-k is exact, ties included (values + lowest
+    flat-index tie-break), vs one big lax.top_k."""
+    import numpy as np
+    from human_pose_tpu.ops.grouping import _chunked_top_k
+
+    rng = np.random.RandomState(0)
+    for trial in range(4):
+        n = 20000 + trial * 7777  # > 30 chunks of 256: hierarchical path
+        flat = rng.rand(3, n).astype(np.float32)
+        # heavy ties: quantize, plus a constant plateau crossing many chunks
+        flat = np.round(flat * 8) / 8
+        flat[1, 100:15000] = 0.625
+        # sparse NMS-like row: mostly zeros
+        row = np.zeros(n, np.float32)
+        row[rng.choice(n, 40, replace=False)] = rng.rand(40).astype(np.float32)
+        flat[2] = np.round(row * 4) / 4
+        want = 30
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(flat), want)
+        got_v, got_i = _chunked_top_k(jnp.asarray(flat), want, chunk=256)
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
