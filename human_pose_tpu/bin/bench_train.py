@@ -28,13 +28,13 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    # (1, 4) — stage 1 + deconv head — is the measured-fitting remat config at
-    # bs36 @512 on v5e (16 GB): no-remat and stem-only OOM at compile
-    # accounting by ~270 MB; (0,) and (4,) pass compile accounting but die at
-    # RUNTIME with ResourceExhausted (the runtime reserves ~0.3 GB the AOT
-    # accounting does not), so treat compile-time fit with <300 MB slack as
-    # not fitting.
-    batch, size, iters, remat = 36, 512, 5, (1, 4)
+    # with the S2D deconv head (models/s2d.py) bs36 @512 fits with NO remat
+    # at 75.2 img/s on a 16 GB v5e. With the plain head the measured matrix
+    # was: no-remat/stem-only OOM at compile accounting (+~270 MB); (0,)/(4,)
+    # pass accounting but die at RUNTIME (the runtime reserves ~0.3 GB the
+    # AOT accounting does not — treat <300 MB compile slack as not fitting);
+    # (1,4) ran at 58.2 img/s.
+    batch, size, iters, remat = 36, 512, 5, False
     for tok in sys.argv[1:]:
         if tok.startswith("--batch="):
             batch = int(tok.split("=")[1])

@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from .hrnet import BasicBlock, HRNetBackbone
 from .norm import batch_norm
+from .s2d import DeconvHeatmapsHeadS2D
 
 Dtype = Any
 
@@ -69,6 +70,11 @@ class HigherHRNet(nn.Module):
     # (see HRNetBackbone.remat), 4 = the deconv head (256^2 x 32ch
     # activations)
     remat: bool | tuple = False
+    # compute the deconv head in space-to-depth (lane-packed) layout — same
+    # parameters, same math up to fp summation order, ~1.5x faster convs and
+    # un-padded stored activations (models/s2d.py). Safe everywhere; flag
+    # kept for debugging and for exact fp reproduction of the plain layout.
+    s2d_head: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -93,10 +99,9 @@ class HigherHRNet(nn.Module):
         )(feats)
 
         deconv_in = jnp.concatenate([feats, init_heatmaps], axis=-1)
+        BaseHead = DeconvHeatmapsHeadS2D if self.s2d_head else DeconvHeatmapsHead
         HeadCls = (
-            nn.remat(DeconvHeatmapsHead, static_argnums=(2,))
-            if deconv_remat
-            else DeconvHeatmapsHead
+            nn.remat(BaseHead, static_argnums=(2,)) if deconv_remat else BaseHead
         )
         _, deconv_heatmaps = HeadCls(
             self.C, self.num_kpts, num_resid_blocks=self.num_deconv_resid_blocks,

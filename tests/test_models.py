@@ -129,3 +129,59 @@ def test_batchnorm_train_updates_stats(rng, hh8):
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     changed = any(not jnp.allclose(a, b) for a, b in zip(before, after))
     assert changed
+
+
+def test_s2d_head_exact_parity():
+    """The space-to-depth deconv head (models/s2d.py) shares the plain head's
+    parameter tree and computes identical values (fp32, up to summation
+    order) in eval AND train mode, including BN batch_stats updates."""
+    import numpy as np
+
+    from human_pose_tpu.models import HigherHRNet
+
+    kw = dict(
+        num_kpts=5, C=8, num_blocks_per_stage=(1, 1, 1, 1), num_units=1,
+        num_deconv_resid_blocks=2, dtype=jnp.float32,
+    )
+    plain = HigherHRNet(s2d_head=False, **kw)
+    packed = HigherHRNet(s2d_head=True, **kw)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = plain.init(rng, jnp.zeros((1, 64, 64, 3)), train=False)
+    v2 = packed.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)), train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(v2))
+    )
+
+    # eval mode
+    (hms_p, tags_p) = plain.apply(variables, x, train=False)
+    (hms_s, tags_s) = packed.apply(variables, x, train=False)
+    for a, b in zip(hms_p, hms_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tags_p), np.asarray(tags_s), atol=2e-4)
+
+    # train mode: outputs and updated BN stats must match
+    (hms_p, _), mut_p = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    (hms_s, _), mut_s = packed.apply(variables, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(hms_p, hms_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mut_p), jax.tree_util.tree_leaves(mut_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    # gradients flow through the kernel construction identically
+    def loss(params, model):
+        out, _ = model.apply(
+            {**variables, "params": params}, x, train=True, mutable=["batch_stats"]
+        )
+        return sum(jnp.sum(h**2) for h in out[0])
+
+    g_p = jax.grad(loss)(variables["params"], plain)
+    g_s = jax.grad(loss)(variables["params"], packed)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        # fp32 summation-order noise scales with the leaf's magnitude
+        assert np.max(np.abs(a - b)) <= 1e-3 * (np.max(np.abs(a)) + 1e-6)
