@@ -1,13 +1,19 @@
 """Training-step throughput benchmark (BASELINE.json config: "HigherHRNet-W32
 COCO training (heatmap+AE loss, crowd masks) data-parallel").
 
-Measures the keypoints train step — forward, crowd-masked heatmap MSE +
-AE push/pull, backward, Adam update — at the reference's training shape
-(bs 36 @ 512, experiments/keypoints/higher_hrnet_32.yaml) on the local
-device(s). Usage:
+Measures a full train step — forward, loss, backward, optimizer update — at
+the reference's training shapes on the local device(s):
 
-    python -m human_pose_tpu.bin.bench_train [--batch=36] [--size=512] \
-        [--iters=5] [--remat=false|true|0,4]
+* keypoints (default): HigherHRNet-W32, heatmap MSE + AE push/pull, Adam,
+  bs 36 @ 512 (experiments/keypoints/higher_hrnet_32.yaml)
+* classification: ClassificationHRNet-W32, CE loss, SGD momentum 0.9,
+  bs 80 @ 224 (experiments/classification/hrnet_32.yaml, reference
+  src/classification/bin/train.py:5-6 trains this on 2 GPUs)
+
+Usage:
+
+    python -m human_pose_tpu.bin.bench_train [--task=keypoints|classification]
+        [--batch=N] [--size=N] [--iters=5] [--remat=false|true|0,4]
 
 Measurement: N steps inside ONE jitted fori_loop with the state threading
 through and the batch synthesized on-device per iteration. This matches the
@@ -34,7 +40,8 @@ def main() -> None:
     # pass accounting but die at RUNTIME (the runtime reserves ~0.3 GB the
     # AOT accounting does not — treat <300 MB compile slack as not fitting);
     # (1,4) ran at 58.2 img/s.
-    batch, size, iters, remat = 36, 512, 5, False
+    task = "classification" if "--task=classification" in sys.argv[1:] else "keypoints"
+    batch, size, iters, remat = (36, 512, 5, False) if task == "keypoints" else (80, 224, 10, False)
     for tok in sys.argv[1:]:
         if tok.startswith("--batch="):
             batch = int(tok.split("=")[1])
@@ -49,15 +56,22 @@ def main() -> None:
             else:  # comma-separated stage indices, e.g. --remat=0 or --remat=0,4
                 remat = tuple(int(v) for v in val.split(",") if v)
 
-    from human_pose_tpu.models import HigherHRNet
+    from human_pose_tpu.models import ClassificationHRNet, HigherHRNet
     from human_pose_tpu.parallel import make_mesh, replicate
     from human_pose_tpu.train import TrainState, create_optimizer
-    from human_pose_tpu.train.steps import keypoints_train_step_body
+    from human_pose_tpu.train.steps import (
+        classification_train_step_body,
+        keypoints_train_step_body,
+    )
 
-    model = HigherHRNet(num_kpts=17, C=32, remat=remat, dtype=jnp.bfloat16)
+    if task == "keypoints":
+        model = HigherHRNet(num_kpts=17, C=32, remat=remat, dtype=jnp.bfloat16)
+        tx = create_optimizer("Adam", lr=1e-3)
+    else:
+        model = ClassificationHRNet(num_classes=1000, C=32, remat=bool(remat), dtype=jnp.bfloat16)
+        tx = create_optimizer("SGD", lr=0.1, momentum=0.9, weight_decay=1e-4, nesterov=True)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), train=False)
-    tx = create_optimizer("Adam", lr=1e-3)
     state = TrainState.create(model.apply, variables["params"], variables["batch_stats"], tx)
 
     n_dev = jax.device_count()
@@ -96,7 +110,14 @@ def main() -> None:
     def many(state):
         def body(i, carry):
             state, _ = carry
-            state, metrics = keypoints_train_step_body(state, synth_batch(i), 1e-3)
+            if task == "keypoints":
+                state, metrics = keypoints_train_step_body(state, synth_batch(i), 1e-3)
+            else:
+                b = synth_batch(i)
+                labels = (jnp.arange(batch, dtype=jnp.int32) + i) % 1000
+                state, metrics = classification_train_step_body(
+                    state, b["images"], labels, 0.1
+                )
             return state, metrics["loss"]
 
         return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
@@ -110,7 +131,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train images/sec HigherHRNet-W32 @512 (bs %d, %d devices)" % (batch, n_dev),
+                "metric": "train images/sec %s @%d (bs %d, %d devices)" % (
+                    "HigherHRNet-W32" if task == "keypoints" else "ClassificationHRNet-W32",
+                    size, batch, n_dev),
                 "value": round(batch * iters / dt, 2),
                 "unit": "images/sec",
                 "ms_per_step": round(1000 * dt / iters, 1),

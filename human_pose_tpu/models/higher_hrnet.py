@@ -70,11 +70,12 @@ class HigherHRNet(nn.Module):
     # (see HRNetBackbone.remat), 4 = the deconv head (256^2 x 32ch
     # activations)
     remat: bool | tuple = False
-    # compute the deconv head in space-to-depth (lane-packed) layout — same
-    # parameters, same math up to fp summation order, ~1.5x faster convs and
-    # un-padded stored activations (models/s2d.py). Safe everywhere; flag
-    # kept for debugging and for exact fp reproduction of the plain layout.
-    s2d_head: bool = True
+    # compute the deconv head and the backbone's C<=32 branch chains in
+    # space-to-depth (lane-packed) layout — same parameters, same math up to
+    # fp summation order, ~1.5x faster convs and un-padded stored activations
+    # (models/s2d.py). Safe everywhere; flag kept for debugging and for exact
+    # fp reproduction of the plain layout.
+    s2d: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -90,8 +91,8 @@ class HigherHRNet(nn.Module):
         feats = HRNetBackbone(
             self.C, final_stage_single_scale=True,
             num_blocks_per_stage=self.num_blocks_per_stage, num_units=self.num_units,
-            remat=backbone_remat, bn_groups=self.bn_groups, dtype=self.dtype,
-            name="backbone",
+            remat=backbone_remat, s2d=self.s2d, bn_groups=self.bn_groups,
+            dtype=self.dtype, name="backbone",
         )(images, train)[0]
 
         init_heatmaps = nn.Conv(
@@ -99,7 +100,7 @@ class HigherHRNet(nn.Module):
         )(feats)
 
         deconv_in = jnp.concatenate([feats, init_heatmaps], axis=-1)
-        BaseHead = DeconvHeatmapsHeadS2D if self.s2d_head else DeconvHeatmapsHead
+        BaseHead = DeconvHeatmapsHeadS2D if self.s2d else DeconvHeatmapsHead
         HeadCls = (
             nn.remat(BaseHead, static_argnums=(2,)) if deconv_remat else BaseHead
         )

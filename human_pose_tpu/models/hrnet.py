@@ -127,24 +127,52 @@ _BLOCK_TYPES = {"bottleneck": Bottleneck, "basic": BasicBlock}
 
 
 class HighResolutionBlock(nn.Module):
-    """Per-scale stack of residual units (reference hrnet.py:127-163)."""
+    """Per-scale stack of residual units (reference hrnet.py:127-163).
+
+    With ``s2d`` (default), basic-block chains whose channel count underfills
+    the MXU's 128 lanes by 4x (C <= 32 — the high-resolution branch) run in
+    space-to-depth layout: one s2d transpose in, the whole unit chain as
+    lane-packed block convs with the SAME parameters (models/s2d.py), one
+    d2s out. Exact up to fp summation order; ~1.5x on the packed chain
+    (prof_s2d.py) and unpadded stored activations for training.
+    """
 
     num_units: int
     block_type: str  # "bottleneck" | "basic"
     out_channels: Sequence[int]  # per-scale output channels (in * expansion)
+    s2d: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: list, train: bool) -> list:
+        from .s2d import BasicBlockS2D, depth_to_space, space_to_depth
+
         Block = _BLOCK_TYPES[self.block_type]
         outs = []
         for i, x in enumerate(xs):
-            for j in range(self.num_units):
-                x = Block(
-                    self.out_channels[i], bn_groups=self.bn_groups, dtype=self.dtype,
-                    name=f"scale{i}_unit{j}",
-                )(x, train)
+            use_s2d = (
+                self.s2d
+                and self.block_type == "basic"
+                and self.out_channels[i] <= 32
+                and x.shape[-1] == self.out_channels[i]  # no downsample branch
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            )
+            if use_s2d:
+                x = space_to_depth(x)
+                for j in range(self.num_units):
+                    x = BasicBlockS2D(
+                        self.out_channels[i], bn_groups=self.bn_groups,
+                        dtype=self.dtype, name=f"scale{i}_unit{j}",
+                    )(x, train)
+                x = depth_to_space(x)
+            else:
+                for j in range(self.num_units):
+                    x = Block(
+                        self.out_channels[i], bn_groups=self.bn_groups, dtype=self.dtype,
+                        name=f"scale{i}_unit{j}",
+                    )(x, train)
             outs.append(x)
         return outs
 
@@ -243,6 +271,7 @@ class HighResolutionStage(nn.Module):
     is_final_stage: bool
     is_first_stage: bool
     final_stage_single_scale: bool = False
+    s2d: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -265,7 +294,8 @@ class HighResolutionStage(nn.Module):
             is_final_block = b == self.num_blocks - 1
             xs = HighResolutionBlock(
                 self.num_units, self.block_type, block_out_channels,
-                bn_groups=self.bn_groups, dtype=self.dtype, name=f"block{b}",
+                s2d=self.s2d, bn_groups=self.bn_groups, dtype=self.dtype,
+                name=f"block{b}",
             )(xs, train)
             if self.is_final_stage and is_final_block and self.final_stage_single_scale:
                 num_scales_out = 1
@@ -313,6 +343,9 @@ class HRNetBackbone(nn.Module):
     #                allocation at bs36 (640 MB stored — XLA pads C 64->128
     #                lanes, 2.2x), and recompute is two cheap convs.
     remat: bool | tuple = False
+    # run C<=32 basic-block chains in space-to-depth (lane-packed) layout —
+    # same params, same math up to fp summation order (HighResolutionBlock)
+    s2d: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -362,6 +395,7 @@ class HRNetBackbone(nn.Module):
                 is_final_stage=s == len(config) - 1,
                 is_first_stage=s == 0,
                 final_stage_single_scale=self.final_stage_single_scale,
+                s2d=self.s2d,
                 bn_groups=g,
                 dtype=self.dtype,
                 name=f"stage{s + 1}",

@@ -51,8 +51,10 @@ def topk_error(logits, labels, k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, donate_argnames=("state",))
-def classification_train_step(state: TrainState, images, labels, lr):
+def classification_train_step_body(state: TrainState, images, labels, lr):
+    """Unjitted step body — used by the jitted step below and by benchmark
+    harnesses that trace it inside a fori_loop."""
+
     def loss_fn(params):
         out, new_stats = _apply_train(state.replace(params=params), images)
         loss = classification_loss(out, labels)
@@ -71,6 +73,11 @@ def classification_train_step(state: TrainState, images, labels, lr):
         step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
     )
     return new_state, metrics
+
+
+@functools.partial(jax.jit, donate_argnames=("state", "images"))
+def classification_train_step(state: TrainState, images, labels, lr):
+    return classification_train_step_body(state, images, labels, lr)
 
 
 @jax.jit

@@ -104,5 +104,55 @@ def main():
     print(json.dumps({"stage": "s2d_c128_128", "ms_per_img": round(timed(chain_s2d, xs), 4)}), flush=True)
 
 
+# --- C=64 1x2-packing probe (branch-1 candidate): pack 2 horizontal pixels,
+# 2C = 128 lanes, 2x FLOP inflation. Appended for round-3 evaluation.
+def s2d_w2(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def make_w2_kernel(w33):
+    import numpy as np
+    ci, co = w33.shape[2], w33.shape[3]
+    k = np.zeros((3, 3, 2 * ci, 2 * co), np.float32)
+    for b in range(2):
+        for dx in range(-1, 2):
+            qx, px = (b + dx + 2) // 2 - 1, (b + dx) % 2
+            for dy in range(-1, 2):
+                k[dy + 1, qx + 1, px * ci : (px + 1) * ci, b * co : (b + 1) * co] += w33[dy + 1, dx + 1]
+    return jnp.asarray(k)
+
+
+def main_w2():
+    import numpy as np
+    B2, H2, W2, C2, CHAIN2 = 8, 128, 128, 64, 8
+    rng = np.random.RandomState(0)
+    ws = [rng.randn(3, 3, C2, C2).astype(np.float32) * 0.05 for _ in range(CHAIN2)]
+    x = jnp.asarray(rng.randn(B2, H2, W2, C2), jnp.bfloat16)
+
+    xf = jnp.asarray(np.asarray(x), jnp.float32)
+    ref = jax.lax.conv_general_dilated(xf, jnp.asarray(ws[0]), (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(s2d_w2(xf), make_w2_kernel(ws[0]), (1, 1), "SAME",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    err = float(jnp.abs(s2d_w2(ref) - got).max())
+    print(json.dumps({"check": "w2_conv_equivalence", "max_abs_err": err}), flush=True)
+
+    ws_b = [jnp.asarray(w, jnp.bfloat16) for w in ws]
+    ws_w2 = [make_w2_kernel(w).astype(jnp.bfloat16) for w in ws]
+
+    def chain(i, x, kernels):
+        y = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        for w in kernels:
+            y = jax.lax.conv_general_dilated(y, w, (1, 1), "SAME",
+                                             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jnp.maximum(y, 0)
+        return jnp.float32(y.sum())
+
+    print(json.dumps({"stage": "plain_c64_128", "ms_per_img": round(timed(lambda i, x: chain(i, x, ws_b), x), 4)}), flush=True)
+    print(json.dumps({"stage": "w2_c128_64", "ms_per_img": round(timed(lambda i, x: chain(i, x, ws_w2), s2d_w2(x)), 4)}), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    main_w2()
