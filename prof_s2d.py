@@ -153,6 +153,55 @@ def main_w2():
     print(json.dumps({"stage": "w2_c128_64", "ms_per_img": round(timed(lambda i, x: chain(i, x, ws_w2), s2d_w2(x)), 4)}), flush=True)
 
 
+
+# --- stem probe: conv1 (3->64, s2, 512^2) with the image packed 2x2 so the
+# contraction dim fills 48/128 instead of 27/128. Exact: same taps regrouped.
+def make_stem_kernel(w33):
+    import numpy as np
+    ci, co = w33.shape[2], w33.shape[3]
+    k = np.zeros((2, 2, 4 * ci, co), np.float32)
+    for dy in range(-1, 2):
+        qy, py = (-1, 1) if dy == -1 else (0, dy)
+        for dx in range(-1, 2):
+            qx, px = (-1, 1) if dx == -1 else (0, dx)
+            k[qy + 1, qx + 1, (py * 2 + px) * ci : (py * 2 + px + 1) * ci, :] += w33[dy + 1, dx + 1]
+    return jnp.asarray(k)
+
+
+def main_stem():
+    import numpy as np
+    B3, H3 = 8, 512
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 3, 3, 64).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.randn(B3, H3, H3, 3), jnp.bfloat16)
+
+    xf = jnp.asarray(np.asarray(x), jnp.float32)
+    # the real stem (ConvBN) uses torch-style symmetric padding (1,1), not SAME
+    ref = jax.lax.conv_general_dilated(xf, jnp.asarray(w), (2, 2), [(1, 1), (1, 1)],
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(s2d(xf), make_stem_kernel(w), (1, 1), [(1, 0), (1, 0)],
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    err = float(jnp.abs(ref - got).max())
+    print(json.dumps({"check": "stem_conv_equivalence", "max_abs_err": err}), flush=True)
+
+    wb = jnp.asarray(w, jnp.bfloat16)
+    wp = make_stem_kernel(w).astype(jnp.bfloat16)
+
+    def plain(i, x):
+        y = jax.lax.conv_general_dilated(x + jnp.bfloat16(i) * jnp.bfloat16(1e-6), wb, (2, 2), [(1, 1), (1, 1)],
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.float32(jnp.maximum(y, 0).sum())
+
+    def packed(i, x):
+        y = jax.lax.conv_general_dilated(x + jnp.bfloat16(i) * jnp.bfloat16(1e-6), wp, (1, 1), [(1, 0), (1, 0)],
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.float32(jnp.maximum(y, 0).sum())
+
+    print(json.dumps({"stage": "stem1_plain", "ms_per_img": round(timed(plain, x), 4)}), flush=True)
+    print(json.dumps({"stage": "stem1_packed", "ms_per_img": round(timed(packed, s2d(x)), 4)}), flush=True)
+
+
 if __name__ == "__main__":
     main()
     main_w2()
+    main_stem()
