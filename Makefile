@@ -22,6 +22,15 @@ test:
 bench:
 	python bench.py
 
+bench_train:
+	python -m human_pose_tpu.bin.bench_train
+
+bench_train_cls:
+	python -m human_pose_tpu.bin.bench_train --task=classification
+
+bench_decompose:
+	python -m human_pose_tpu.bin.bench_decompose
+
 train_keypoints:
 	python -m human_pose_tpu.bin.train_keypoints --config=experiments/keypoints/higher_hrnet_32.yaml
 
