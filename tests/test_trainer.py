@@ -91,6 +91,7 @@ def test_fit_and_artifacts(run_dir):
     assert (run_dir / "checkpoints" / "last.pt").exists()
     assert (run_dir / "checkpoints" / "best.pt").exists()
     assert (run_dir / "epoch_metrics.jpg").exists()
+    assert (run_dir / "epoch_metrics.html").exists()  # interactive (plotly-equiv)
     assert (run_dir / "epoch_metrics.yaml").exists()
     assert (run_dir / "model" / "model_summary.txt").exists()
     assert (run_dir / "tracker" / "metrics_val.jsonl").exists()
