@@ -178,6 +178,10 @@ class MlflowFileLogger(BaseLogger):
             run_id = self._find_run_by_name(run_name)
         self.run_id = run_id or uuid.uuid4().hex
         self.run_dir = self.store_dir / exp_id / self.run_id
+        # captured once so every meta.yaml rewrite (incl. finalize) carries the
+        # run's true start time as an int — the FileStore sorts/lists runs by
+        # it; a resumed run keeps its original start time (mlflow semantics)
+        self.start_time_ms = self._read_existing_start_time() or self._now_ms()
         for d in ("metrics", "params", "tags", "artifacts"):
             (self.run_dir / d).mkdir(parents=True, exist_ok=True)
         self._write_run_meta(Status.RUNNING)
@@ -187,6 +191,17 @@ class MlflowFileLogger(BaseLogger):
 
     def _now_ms(self) -> int:
         return int(time.time() * 1000)
+
+    def _read_existing_start_time(self) -> int | None:
+        meta = self.run_dir / "meta.yaml"
+        if not meta.exists():
+            return None
+        for line in meta.read_text().splitlines():
+            if line.startswith("start_time:"):
+                value = line.split(":", 1)[1].strip()
+                if value.isdigit():
+                    return int(value)
+        return None
 
     def _ensure_experiment(self, name: str) -> str:
         # experiment ids are numeric strings in the FileStore; scan for an
@@ -198,7 +213,11 @@ class MlflowFileLogger(BaseLogger):
                 continue
             ids.append(int(d.name))
             meta = d / "meta.yaml"
-            if meta.exists() and f"name: {name}" in meta.read_text():
+            # exact-line match: substring matching would wrongly reattach
+            # experiment "pose" to an existing "pose-v2" (prefix collision)
+            if meta.exists() and any(
+                line.strip() == f"name: {name}" for line in meta.read_text().splitlines()
+            ):
                 return d.name
         exp_id = str(max(ids) + 1 if ids else 0)
         exp_dir = self.store_dir / exp_id
@@ -223,7 +242,6 @@ class MlflowFileLogger(BaseLogger):
         return None
 
     def _write_run_meta(self, status: Status, end_time: int | None = None) -> None:
-        now = self._now_ms()
         (self.run_dir / "meta.yaml").write_text(
             f"artifact_uri: {(self.run_dir / 'artifacts').resolve().as_uri()}\n"
             f"end_time: {end_time if end_time is not None else 'null'}\n"
@@ -236,7 +254,7 @@ class MlflowFileLogger(BaseLogger):
             "source_name: ''\n"
             "source_type: 4\n"
             "source_version: ''\n"
-            f"start_time: {now if end_time is None else ''}\n"
+            f"start_time: {self.start_time_ms}\n"
             f"status: {self._STATUS[status.value]}\n"
             "user_id: ''\n"
         )

@@ -35,6 +35,12 @@ _HOST_STATE = "host_state.pkl"
 _ITEM = "state"
 
 
+def _barrier(name: str) -> None:
+    from ..parallel.mesh import barrier
+
+    barrier(name)
+
+
 def _save_args(tree):
     import orbax.checkpoint as ocp
 
@@ -84,9 +90,16 @@ def save_checkpoint(
     happens automatically on the next save or at checkpointer GC).
     """
     path = Path(path).absolute()
-    path.parent.mkdir(parents=True, exist_ok=True)
-    if path.exists():
-        shutil.rmtree(path)
+    # directory prep + host-state pickle are process-0-only: on multi-host
+    # meshes every process calls save_checkpoint (each host writes its own
+    # array shards through orbax), and concurrent rmtree/pickle writes to the
+    # same shared directory would race with orbax's coordinated save
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        if path.exists():
+            shutil.rmtree(path)
+    _barrier("orbax_dir_prepared")  # nobody saves into a dir mid-rmtree
     ckptr = _checkpointer(use_async)
     ckptr.save(path / _ITEM, args=_save_args(_state_to_tree(state)))
     step = int(np.asarray(jax.device_get(state.step)))
@@ -99,8 +112,9 @@ def save_checkpoint(
         "step": step,
         "backend": "orbax",
     }
-    with open(path / _HOST_STATE, "wb") as f:
-        pickle.dump(host, f)
+    if is_primary:
+        with open(path / _HOST_STATE, "wb") as f:
+            pickle.dump(host, f)
     if use_async:
         ckptr.wait_until_finished()
     log.info(f"saved orbax checkpoint to {path} (epoch {epoch})")

@@ -106,9 +106,25 @@ class BaseModule:
 
     # -- device placement ----------------------------------------------------
     def batch_to_device(self, batch: dict) -> dict:
+        # The train steps donate the batch buffers. jnp.asarray is a no-op for
+        # arrays already on device, so a datamodule yielding cached device
+        # arrays (reused across steps/epochs) would hand the same buffer to a
+        # donating jit twice -> deleted-buffer errors on TPU (invisible on the
+        # CPU test backend, where donation is ignored). Copy committed
+        # jax.Arrays defensively; host numpy stays the zero-copy fast path.
+        def _to_device(x):
+            if isinstance(x, jax.Array):
+                return jax.numpy.copy(x)
+            return jax.numpy.asarray(x)
+
         if self.mesh is not None:
+            # device_put to an identical sharding can alias the same buffer,
+            # so the mesh path needs the same committed-array copy guard
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.numpy.copy(x) if isinstance(x, jax.Array) else x, batch
+            )
             return shard_batch(self.mesh, batch)
-        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+        return jax.tree_util.tree_map(_to_device, batch)
 
     # -- steps (overridden) ----------------------------------------------------
     def training_step(self, batch: dict) -> dict:

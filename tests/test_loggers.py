@@ -137,10 +137,28 @@ def test_mlflow_file_logger(tmp_path):
     assert "status: 3" in meta  # FINISHED
     assert (run_dir / "tags" / "mlflow.runName").read_text() == "run-a"
 
+    # finalize() must keep start_time as an int (FileStore sorts runs by it;
+    # an empty value breaks `mlflow ui` run listing) and set an int end_time
+    start_line = next(l for l in meta.splitlines() if l.startswith("start_time:"))
+    end_line = next(l for l in meta.splitlines() if l.startswith("end_time:"))
+    assert start_line.split(":", 1)[1].strip().isdigit()
+    assert end_line.split(":", 1)[1].strip().isdigit()
+    assert int(end_line.split(":")[1]) >= int(start_line.split(":")[1])
+
     # resume-by-run-name reattaches to the same run (reference loggers.py:296)
+    # and keeps the original start_time (mlflow resume semantics)
     lg2 = MlflowFileLogger(tmp_path / "run", "pose-exp", "run-a", resume=True)
     assert lg2.run_id == lg.run_id
+    assert lg2.start_time_ms == int(start_line.split(":")[1])
     # a different run name under the same experiment gets a new run
     lg3 = MlflowFileLogger(tmp_path / "run", "pose-exp", "run-b")
     assert lg3.run_id != lg.run_id
     assert lg3.run_dir.parent == run_dir.parent
+
+    # experiment matching is exact-name, not substring: "pose" must NOT
+    # reattach to the existing "pose-exp" (whose meta contains "name: pose-exp")
+    lg4 = MlflowFileLogger(tmp_path / "run", "pose", "run-c")
+    assert lg4.experiment_id != lg.experiment_id
+    # while the exact name still reattaches
+    lg5 = MlflowFileLogger(tmp_path / "run", "pose-exp", "run-d")
+    assert lg5.experiment_id == lg.experiment_id

@@ -166,3 +166,28 @@ def test_keypoints_train_step_with_remat():
         state, metrics = keypoints_train_step(state, batch, 1e-3)
         losses[remat] = float(metrics["loss"])
     assert abs(losses[True] - losses[False]) < 1e-4
+
+
+def test_batch_to_device_copies_committed_arrays():
+    """The train steps donate batch buffers; batch_to_device must therefore
+    never hand back the caller's own device buffer (a datamodule yielding
+    cached device arrays reused across steps would otherwise hit
+    deleted-buffer errors on TPU — donation is a no-op on the CPU backend, so
+    the guard is asserted structurally here) (ADVICE r2 #4)."""
+    from human_pose_tpu.train.module import BaseModule
+
+    module = BaseModule(model=None, state=None, schedulers={}, mesh=None)
+    dev = jnp.arange(6.0).reshape(2, 3)  # committed jax.Array
+    host = np.ones((2, 2), np.float32)
+    out = module.batch_to_device({"a": dev, "b": host})
+    assert out["a"] is not dev
+    assert out["a"].unsafe_buffer_pointer() != dev.unsafe_buffer_pointer()
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(dev))
+    np.testing.assert_array_equal(np.asarray(out["b"]), host)
+
+    # mesh path: sharded placement must also not alias the input buffer
+    mesh = make_mesh(8)
+    module_m = BaseModule(model=None, state=None, schedulers={}, mesh=mesh)
+    dev8 = jnp.arange(16.0).reshape(8, 2)
+    out_m = module_m.batch_to_device({"a": dev8})
+    assert out_m["a"] is not dev8
