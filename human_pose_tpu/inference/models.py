@@ -43,6 +43,15 @@ def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
         model.apply, variables["params"], variables.get("batch_stats"),
         create_optimizer("SGD", lr=0.0),
     )
+    from ..utils.torch_interop import is_torch_checkpoint
+
+    if is_torch_checkpoint(ckpt_path):
+        # a reference torch .pt checkpoint: convert weights AND BatchNorm
+        # running stats into the flax tree (utils/torch_interop.py)
+        from ..utils.torch_interop import load_torch_state_dict, variables_from_torch
+
+        sd = load_torch_state_dict(ckpt_path)
+        return variables_from_torch(sd, jax.device_get(dict(variables)))
     ckpt = load_checkpoint(ckpt_path)
     # optimizer state in the checkpoint may belong to a different optimizer;
     # restore params/batch_stats only

@@ -87,12 +87,24 @@ def load_params_partial(params: Any, ckpt_path: str | Path) -> Any:
     initialization. The checkpoint may be a trainer-state file (params are
     unwrapped from ckpt['module']), a bare params file, or an orbax
     checkpoint directory."""
+    from ..utils.torch_interop import is_torch_checkpoint
     from .checkpoint_orbax import is_orbax_checkpoint
 
     if is_orbax_checkpoint(ckpt_path):
         from . import checkpoint_orbax
 
         return checkpoint_orbax.load_params_partial(params, ckpt_path)
+    if is_torch_checkpoint(ckpt_path):
+        # a reference .pt checkpoint (e.g. the published hrnet_32.pt
+        # classification backbone): convert name-by-name; leaves the torch
+        # tree doesn't cover keep their fresh init (reference
+        # init_pretrained_weights intersection, src/base/model.py:104-129)
+        from ..utils.torch_interop import load_torch_state_dict, variables_from_torch
+
+        sd = load_torch_state_dict(ckpt_path)
+        loaded = variables_from_torch(sd, {"params": jax.device_get(params)}, strict=False)
+        log.info(f"converted torch checkpoint {ckpt_path} (partial, params only)")
+        return loaded["params"]
     ckpt = load_checkpoint(ckpt_path)
     if "module" in ckpt:
         template = jax.device_get({"params": params})
