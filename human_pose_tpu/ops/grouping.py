@@ -40,7 +40,6 @@ JOINTS_ORDER = tuple(
     i - 1 for i in [1, 2, 3, 4, 5, 6, 7, 12, 13, 8, 9, 10, 11, 14, 15, 16, 17]
 )
 
-_PAD = jnp.float32(1e10)
 
 
 def nms(kpts_heatmaps: jnp.ndarray, pool_size: int = 5) -> jnp.ndarray:
@@ -185,8 +184,25 @@ def match_by_tag(
             diff = cand_tags[:, None, :] - mean_tags[None, :, :]  # [M, P, E]
             dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [M, P]
             cost = jnp.round(dist) * 100.0 - cand_scores[:, None]
-            # fake columns (nonexistent persons) ~ reference 1e10 padding
-            cost = jnp.where(person_valid[None, :], cost, _PAD)
+            # fake columns (nonexistent persons) ~ the reference's 1e10
+            # padding (grouping.py:126-128). The PAD VALUE is semantically
+            # free: any equal constant strictly above the max real cost
+            # yields the same optimum set (exchange argument — an unmatched
+            # real column plus a padded row can always be augmented at cost
+            # < pad, so every optimum matches min(rows, cols) real pairs and
+            # the pad constant contributes identically to all of them). A
+            # literal 1e10 is NOT free in float32: once an augmenting path
+            # crosses a pad column, JV potentials pick up +-1e10 offsets and
+            # ulp(1e10) ~ 1024 swallows the round(dist)*100 - score
+            # structure, yielding SUBOPTIMAL (non-reference) assignments
+            # whenever candidates outnumber persons. Keep the pad just above
+            # the max real cost so all magnitudes stay f32-homogeneous.
+            real = valid_cand[:, None] & person_valid[None, :]
+            max_real = jnp.max(jnp.where(real, cost, -jnp.inf))
+            pad = jnp.where(
+                jnp.isfinite(max_real), jnp.abs(max_real) * 2.0 + 100.0, 100.0
+            )
+            cost = jnp.where(person_valid[None, :], cost, pad)
             # below-threshold candidates are padding rows. Sorting real rows
             # first (stable, preserving the reference's filtered-row order)
             # lets the solver run augmenting paths ONLY for real rows — the

@@ -7,8 +7,13 @@ path implementation (Jonker-Volgenant style with row/column potentials).
 
 The solver works on square float32 cost matrices. Rectangular problems are
 handled by padding:
-  * extra columns with a large constant (the reference pads with 1e10,
-    grouping.py:127-128)
+  * extra columns with an equal constant strictly above the max real cost
+    (semantically identical to the reference's f64 1e10 padding,
+    grouping.py:127-128 — any such constant yields the same optimum set).
+    Keep the constant within ~2-4x of the real cost magnitude: float32
+    potentials inherit the pad's magnitude once an augmenting path crosses a
+    pad column, and e.g. a 1e10 pad (ulp ~1024) erases real cost structure,
+    producing suboptimal assignments whenever rows outnumber real columns.
   * extra rows with a constant value per row (constant rows never change the
     optimal assignment of the real rows)
 """

@@ -22,7 +22,9 @@ column is padding, the assignment matches nothing, and all valid candidates
 become new persons in candidate order — byte-identical bookkeeping.
 
 Semantics match the fixed-slot formulation of ops/grouping.py:
-  * costs round(dist)*100 - score, nonexistent-person columns padded 1e10
+  * costs round(dist)*100 - score, nonexistent-person columns padded with an
+    equal constant just above the max real cost (exactly equivalent to the
+    reference's f64 1e10 padding, but f32-safe — see grouping.py match())
   * rows below det_thr are skipped (predicated), preserving candidate order
   * assignment accepted iff raw tag distance < tag_thr, else the candidate
     seeds a new person (in candidate order), capacity P
@@ -41,7 +43,6 @@ LANES = 128
 SUB = 32  # candidate sublane padding
 VCOL = LANES - 1  # virtual Hungarian column
 _INF = 1e18  # python floats: jnp scalars would be captured consts in the kernel
-_PAD = 1e10
 
 
 def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
@@ -126,7 +127,14 @@ def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
 
         person_lane = lane_1 < count
         cost = jnp.round(dist) * 100.0 - scores
-        cost = jnp.where(person_lane, cost, _PAD)
+        # pad nonexistent-person columns JUST above the max real cost (any
+        # equal constant above it is exactly equivalent to the reference's
+        # f64 1e10 padding; a literal 1e10 corrupts the f32 JV potentials —
+        # see ops/grouping.py match() for the argument)
+        real = valid & person_lane
+        max_real = jnp.max(jnp.where(real, cost, -_INF))
+        pad = jnp.where(max_real > -_INF * 0.5, jnp.abs(max_real) * 2.0 + 100.0, 100.0)
+        cost = jnp.where(person_lane, cost, pad)
 
         # ----- Hungarian: rows m predicated, cols on lanes -------------------
         u0 = jnp.zeros((SUB, 1), jnp.float32)
@@ -285,7 +293,16 @@ def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
 
         person_lane = lane_r < count  # [B, 1, LANES]
         cost = jnp.round(dist) * 100.0 - scores
-        cost = jnp.where(person_lane, cost, _PAD)
+        # per-image dynamic pad just above the max real cost (see the
+        # per-image kernel / ops/grouping.py match() for why a literal 1e10
+        # breaks f32 JV optimality)
+        real = valid & person_lane
+        max_real = jnp.max(
+            jnp.max(jnp.where(real, cost, -_INF), axis=2, keepdims=True),
+            axis=1, keepdims=True,
+        )  # [B, 1, 1]
+        pad = jnp.where(max_real > -_INF * 0.5, jnp.abs(max_real) * 2.0 + 100.0, 100.0)
+        cost = jnp.where(person_lane, cost, pad)
 
         # ----- Hungarian: rows on sublanes, columns on lanes, per-image ------
         u0 = jnp.zeros((B, SUB, 1), jnp.float32)

@@ -59,3 +59,29 @@ def test_batched():
     for b in range(4):
         r, c = linear_sum_assignment(costs[b])
         assert abs(costs[b][np.arange(8), cols[b]].sum() - costs[b][r, c].sum()) < 1e-4
+
+
+def test_overflow_rows_homogeneous_pad_optimality():
+    """Regression (r3): when candidate rows outnumber real person columns,
+    the overflow rows must be CHOSEN optimally. With a 1e10 pad this failed
+    in float32 (ulp(1e10) ~ 1024 erases the round(dist)*100 - score
+    structure once an augmenting path crosses a pad column, 20/20 random
+    cases suboptimal by ~1e2-1e3); grouping.match() now pads just above the
+    max real cost, which is exactly equivalent in infinite precision (the
+    pad constant cancels across maximal matchings) and f32-safe."""
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        na, ng, n = 12, 8, 30
+        real = (np.round(rng.rand(na, ng) * 8) * 100 - rng.rand(na, ng)).astype(
+            np.float32
+        )
+        pad = np.float32(np.abs(real).max() * 2 + 100)
+        cost = np.full((n, n), pad, np.float32)
+        cost[:na, :ng] = real
+        col = np.asarray(hungarian(jnp.asarray(cost), num_valid_rows=jnp.int32(na)))
+        ours = sum(real[r, col[r]] for r in range(na) if 0 <= col[r] < ng)
+        r, c = linear_sum_assignment(
+            np.concatenate([real, np.full((na, na - ng), 1e10)], 1).astype(np.float64)
+        )
+        ref = sum(real[rr, cc] for rr, cc in zip(r, c) if cc < ng)
+        assert abs(ours - ref) < 1e-3, (trial, ours, ref)
