@@ -1,0 +1,168 @@
+"""END-TO-END inference parity against the reference's full pipeline.
+
+The strongest available stand-in for COCO AP parity on a box without COCO:
+the reference's ACTUAL InferenceKeypointsModel (torch CPU; resize-align ->
+normalize -> forward -> optional flip TTA -> heatmap aggregation/resize ->
+MPPE decode -> inverse affine to raw-image coordinates,
+/root/reference/src/keypoints/model.py:42-110 + results.py:204-263) is driven
+on a synthetic image, and this framework's InferenceKeypointsModel runs the
+same converted weights through its own jitted pipeline. Identical final
+detections on arbitrary inputs => identical COCO AP (the COCO-format export
+and the NumPy COCOeval are covered by their own suites).
+
+Missing reference deps are shimmed (tests/reference_shims.py): only the
+munkres solver (independent scipy implementation) and torchvision's
+ToTensor/Normalize are actually executed — an unfaithful shim would FAIL the
+comparison, not mask it.
+
+NOTE compile cost: this test jit-compiles the full-depth W32 forward on the
+1-core CPU host, which dominates its runtime.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "src").exists(), reason="reference checkout not available"
+)
+
+if str(Path(__file__).parent.parent) not in sys.path:
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.fixture(scope="module")
+def ref_model_mod():
+    from tests.reference_shims import install_reference_shims
+
+    install_reference_shims()
+    import src.keypoints.model as km
+
+    return km
+
+
+def make_image(seed: int, h: int = 290, w: int = 231) -> np.ndarray:
+    """Smooth random image with blob structure (content is irrelevant for
+    parity — both pipelines see the same pixels)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    base = rng.rand(h // 8 + 1, w // 8 + 1, 3).astype(np.float32)
+    # cubic upsample -> smooth but APERIODIC: nearest/kron replication would
+    # create exactly-equal pixel values, i.e. artificial decode tie surfaces
+    img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def _randomize(net, seed):
+    """Default torch init (numerically stable at full depth — the fully
+    randomized weights of test_torch_parity explode to ~1e27 through 50+
+    layers, which is fine for normalized forward-parity checks but breaks
+    decode-threshold semantics) with randomized output heads so heatmap
+    values straddle det_thr and the decode takes non-trivial paths."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for head in [net.init_heatmaps_head, net.deconv_layers[0].final_layer]:
+            head.weight.copy_(
+                0.2 * torch.randn(head.weight.shape, generator=g)
+            )
+            head.bias.copy_(0.15 * torch.randn(head.bias.shape, generator=g))
+
+
+@pytest.mark.parametrize("use_flip", [False, True])
+def test_inference_pipeline_end_to_end_parity(ref_model_mod, use_flip):
+    import jax
+
+    from human_pose_tpu.inference.models import (
+        InferenceKeypointsModel as MyInferenceModel,
+    )
+    from human_pose_tpu.models import HigherHRNet
+    from human_pose_tpu.utils.torch_interop import variables_from_torch
+
+    sys.path.insert(0, str(REFERENCE))
+    from src.keypoints.architectures.higher_hrnet import HigherHRNet as RefNet
+
+    net = RefNet(num_kpts=17, C=32).eval()
+    _randomize(net, seed=31)
+    ref_model = ref_model_mod.InferenceKeypointsModel(
+        net=net, det_thr=0.1, tag_thr=1.0, use_flip=use_flip,
+        input_size=256, max_num_people=30, device="cpu", ckpt_path=None,
+    )
+    image = make_image(seed=32)
+    ref_result = ref_model(image, None)
+
+    model = HigherHRNet(num_kpts=17, C=32)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False
+        )
+    )
+    variables = variables_from_torch(
+        {k: v.numpy() for k, v in net.state_dict().items()}, dict(template)
+    )
+    my_model = MyInferenceModel(
+        model, variables, det_thr=0.1, tag_thr=1.0, use_flip=use_flip,
+        input_size=256, max_num_people=30,
+    )
+    my_result = my_model(image, None)
+
+    # 1. decode INPUTS: the aggregated, input-size heatmaps must agree tightly
+    # (covers resize-align, normalize, forward, flip TTA merge, stage
+    # averaging, bilinear resize — the whole pre-decode pipeline). Decode
+    # given identical inputs is pinned separately by
+    # tests/test_reference_decode_parity.py against the reference parser.
+    ref_hms = np.asarray(ref_result.kpts_heatmaps)  # [K, H, W]
+    my_hms = np.transpose(np.asarray(my_result.kpts_heatmaps), (2, 0, 1))
+    assert my_hms.shape == ref_hms.shape
+    np.testing.assert_allclose(my_hms, ref_hms, atol=2e-4)
+    ref_tags0 = np.asarray(ref_result.tags_heatmaps)  # [K, H, W] first emb dim
+    my_tags = np.asarray(my_result.tags_heatmaps)
+    my_tags0 = np.transpose(my_tags[..., 0] if my_tags.ndim == 4 else my_tags,
+                            (2, 0, 1))
+    np.testing.assert_allclose(my_tags0, ref_tags0, atol=2e-3)
+
+    # 2. final raw-image coordinates. An UNTRAINED net produces near-constant
+    # heatmap surfaces whose decode decisions (refine argmax, adjust
+    # neighbor comparisons) sit within cross-framework fp noise (~1e-6), so a
+    # small fraction of joints legitimately tie-flips; real pipeline bugs
+    # show up as gross or systematic divergence.
+    ref_coords = np.asarray(ref_result.kpts_coords, np.float64)
+    my_coords = np.asarray(my_result.kpts_coords, np.float64)
+    assert my_coords.shape == ref_coords.shape, (
+        f"person/joint count: {my_coords.shape} vs {ref_coords.shape}"
+    )
+    # measured tie-flip floor on these degenerate surfaces: ~1% (E=1) / ~8%
+    # (E=2: refine argmaxes a 2-dim tag-distance surface, more near-ties);
+    # the tight guarantees are the 2e-4 heatmap parity above plus
+    # solver-identical decode in test_reference_decode_parity.py
+    agree = np.all(np.abs(my_coords - ref_coords) < 0.5, axis=-1)
+    assert agree.mean() > 0.9, f"only {agree.mean():.1%} of joints agree"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(my_result.obj_scores)),
+        np.sort(np.asarray(ref_result.obj_scores)),
+        atol=2e-3,
+    )
+
+    # 3. inverse affine on SHARED joints: deterministic, no tie surface —
+    # exact parity of the coordinate mapping (reference results.py:158-171 vs
+    # data/affine.transform_coords_inverse)
+    from src.base.transforms.utils import resize_align_multi_scale as ref_resize
+
+    from human_pose_tpu.data.affine import transform_coords_inverse
+
+    h, w = my_hms.shape[1:]
+    _, center, scale = ref_resize(image, 256, 1, 1)
+    rng = np.random.RandomState(33)
+    joints = rng.rand(6, 17, 2) * [w, h]
+    ref_final = type(ref_result).get_final_kpts_coords(
+        joints.copy(), center, scale, (w, h)
+    )
+    my_final = transform_coords_inverse(joints.copy(), center, scale, (w, h))
+    np.testing.assert_allclose(my_final, np.asarray(ref_final), atol=1e-6)
