@@ -141,6 +141,10 @@ class HighResolutionBlock(nn.Module):
     block_type: str  # "bottleneck" | "basic"
     out_channels: Sequence[int]  # per-scale output channels (in * expansion)
     s2d: bool = True
+    # branch 0 arrives/leaves ALREADY in packed [N, H/2, W/2, 4C] layout (the
+    # stage keeps it packed across blocks and fusions — see
+    # HighResolutionStage); no per-block transposes
+    packed0: bool = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
@@ -151,6 +155,14 @@ class HighResolutionBlock(nn.Module):
         Block = _BLOCK_TYPES[self.block_type]
         outs = []
         for i, x in enumerate(xs):
+            if i == 0 and self.packed0:
+                for j in range(self.num_units):
+                    x = BasicBlockS2D(
+                        self.out_channels[i], bn_groups=self.bn_groups,
+                        dtype=self.dtype, name=f"scale{i}_unit{j}",
+                    )(x, train)
+                outs.append(x)
+                continue
             use_s2d = (
                 self.s2d
                 and self.block_type == "basic"
@@ -198,18 +210,28 @@ class FusionLayer(nn.Module):
 
     channels: Sequence[int]  # per input scale
     num_scales_out: int = -1
+    # xs[0] arrives packed [N, H/2, W/2, 4C] and out 0 is emitted packed.
+    # Down paths from scale 0 consume ONE depth_to_space copy; up paths INTO
+    # scale 0 exploit packed(up_{2^k}(y)) == tile(up_{2^{k-1}}(y), 4) along
+    # phase-major channels, so no packed-space transpose exists anywhere.
+    packed0: bool = False
     bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs: list, train: bool) -> list:
+        from .s2d import depth_to_space
+
         num_in = len(self.channels)
         num_out = self.num_scales_out if self.num_scales_out != -1 else num_in
+        x0_plain = (
+            depth_to_space(xs[0]) if self.packed0 and num_out > 1 else xs[0]
+        )
         outs = []
         for i in range(num_out):
             acc = None
             for j in range(num_in):
-                x = xs[j]
+                x = x0_plain if j == 0 else xs[j]
                 if i > j:
                     for k in range(i - j):
                         is_last = k == (i - j) - 1
@@ -225,7 +247,16 @@ class FusionLayer(nn.Module):
                         bn_groups=self.bn_groups, dtype=self.dtype,
                         name=f"out{i}_in{j}_up",
                     )(x, train)
-                    x = _upsample_nearest(x, 2 ** (j - i))
+                    if i == 0 and self.packed0:
+                        # packed 2^(j)-upsample: one fewer doubling, then the
+                        # 2x2 phases all read the same source pixel
+                        if j > 1:
+                            x = _upsample_nearest(x, 2 ** (j - 1))
+                        x = jnp.tile(x, (1, 1, 1, 4))
+                    else:
+                        x = _upsample_nearest(x, 2 ** (j - i))
+                if i == 0 and j == 0 and self.packed0:
+                    x = xs[0]  # identity contribution stays packed
                 acc = x if acc is None else acc + x
             outs.append(nn.relu(acc))
         return outs
@@ -277,6 +308,8 @@ class HighResolutionStage(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool):
+        from .s2d import depth_to_space, space_to_depth
+
         if not isinstance(xs, list):
             xs = [xs]
         Block = _BLOCK_TYPES[self.block_type]
@@ -284,6 +317,23 @@ class HighResolutionStage(nn.Module):
         num_scales = len(self.in_channels)
         block_out_channels = [c * expansion for c in self.in_channels]
         fusion_channels = list(self.out_channels[:num_scales])
+
+        # branch 0 runs the WHOLE stage in packed (space-to-depth) layout when
+        # its channel count underfills the MXU lanes 4x: one transpose in, one
+        # out, and each fusion's down paths read one depth_to_space copy —
+        # instead of a transpose pair per block (models/s2d.py for the exact
+        # reparametrization; parity pinned by tests/test_models.py and
+        # tests/test_torch_parity.py)
+        pack0 = (
+            self.s2d
+            and self.block_type == "basic"
+            and block_out_channels[0] <= 32
+            and xs[0].shape[-1] == block_out_channels[0]
+            and xs[0].shape[1] % 2 == 0
+            and xs[0].shape[2] % 2 == 0
+        )
+        if pack0:
+            xs = [space_to_depth(xs[0])] + list(xs[1:])
 
         # within a stage the per-branch channels are constant across blocks:
         # bottleneck stage-1 runs at 256 ch (its single-scale "fusion" is
@@ -294,18 +344,20 @@ class HighResolutionStage(nn.Module):
             is_final_block = b == self.num_blocks - 1
             xs = HighResolutionBlock(
                 self.num_units, self.block_type, block_out_channels,
-                s2d=self.s2d, bn_groups=self.bn_groups, dtype=self.dtype,
-                name=f"block{b}",
+                s2d=self.s2d, packed0=pack0, bn_groups=self.bn_groups,
+                dtype=self.dtype, name=f"block{b}",
             )(xs, train)
             if self.is_final_stage and is_final_block and self.final_stage_single_scale:
                 num_scales_out = 1
             else:
                 num_scales_out = num_scales
             xs = FusionLayer(
-                fuse_ch, num_scales_out, bn_groups=self.bn_groups, dtype=self.dtype,
-                name=f"fusion{b}",
+                fuse_ch, num_scales_out, packed0=pack0, bn_groups=self.bn_groups,
+                dtype=self.dtype, name=f"fusion{b}",
             )(xs, train)
 
+        if pack0:
+            xs = [depth_to_space(xs[0])] + list(xs[1:])
         if self.is_final_stage:
             return xs
         return TransitionLayer(
