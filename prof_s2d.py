@@ -201,7 +201,86 @@ def main_stem():
     print(json.dumps({"stage": "stem1_packed", "ms_per_img": round(timed(packed, s2d(x)), 4)}), flush=True)
 
 
+def make_stem1_fullpack_kernel(w33):
+    """conv1 (3x3 s2, 3->64) with BOTH sides packed: [3,3,12,256] block conv,
+    stride 2 in block space, pad (1,1). Out block I phase a reads input pixel
+    4I+2a+dy -> block 2I + (2a+dy)//2, phase (2a+dy)%2."""
+    import numpy as np
+    ci, co = w33.shape[2], w33.shape[3]
+    k = np.zeros((3, 3, 4 * ci, 4 * co), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(-1, 2):
+                qy, py = divmod(2 * a + dy, 2)
+                for dx in range(-1, 2):
+                    qx, px = divmod(2 * b + dx, 2)
+                    ib, ob = (py * 2 + px) * ci, (a * 2 + b) * co
+                    k[qy + 1, qx + 1, ib:ib + ci, ob:ob + co] += w33[dy + 1, dx + 1]
+    return jnp.asarray(k)
+
+
+def main_stem2():
+    """FULL stem (conv1+relu+conv2+relu): plain vs conv1-fully-packed
+    variants. A: conv2 consumes the packed map directly ([2,2,256,64]);
+    B: depth_to_space between conv1 and plain conv2."""
+    import numpy as np
+    B3, H3 = 8, 512
+    rng = np.random.RandomState(0)
+    w1 = rng.randn(3, 3, 3, 64).astype(np.float32) * 0.05
+    w2 = rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.randn(B3, H3, H3, 3), jnp.bfloat16)
+
+    def d2s(y):
+        n, h, w, c4 = y.shape
+        c = c4 // 4
+        y = y.reshape(n, h, w, 2, 2, c)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+
+    def conv(x, w, s, pad):
+        return jax.lax.conv_general_dilated(
+            x, w, (s, s), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # equivalence in fp32
+    xf = jnp.asarray(np.asarray(x), jnp.float32)
+    ref = jnp.maximum(conv(jnp.maximum(conv(xf, jnp.asarray(w1), 2, [(1, 1)] * 2), 0),
+                           jnp.asarray(w2), 2, [(1, 1)] * 2), 0)
+    y1 = jnp.maximum(conv(s2d(xf), make_stem1_fullpack_kernel(w1), 2, [(1, 1)] * 2), 0)
+    gotA = jnp.maximum(conv(y1, make_stem_kernel(w2), 1, [(1, 0)] * 2), 0)
+    gotB = jnp.maximum(conv(d2s(y1), jnp.asarray(w2), 2, [(1, 1)] * 2), 0)
+    print(json.dumps({"check": "stem_fullpack_equiv",
+                      "errA": float(jnp.abs(ref - gotA).max()),
+                      "errB": float(jnp.abs(ref - gotB).max())}), flush=True)
+
+    w1b, w2b = jnp.asarray(w1, jnp.bfloat16), jnp.asarray(w2, jnp.bfloat16)
+    w1p = make_stem1_fullpack_kernel(w1).astype(jnp.bfloat16)
+    w2p = make_stem_kernel(w2).astype(jnp.bfloat16)
+
+    def plain(i, x):
+        x = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        y = jnp.maximum(conv(x, w1b, 2, [(1, 1)] * 2), 0)
+        y = jnp.maximum(conv(y, w2b, 2, [(1, 1)] * 2), 0)
+        return jnp.float32(y.sum())
+
+    def packedA(i, x):
+        x = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        y = jnp.maximum(conv(s2d(x), w1p, 2, [(1, 1)] * 2), 0)
+        y = jnp.maximum(conv(y, w2p, 1, [(1, 0)] * 2), 0)
+        return jnp.float32(y.sum())
+
+    def packedB(i, x):
+        x = x + jnp.bfloat16(i) * jnp.bfloat16(1e-6)
+        y = jnp.maximum(conv(s2d(x), w1p, 2, [(1, 1)] * 2), 0)
+        y = jnp.maximum(conv(d2s(y), w2b, 2, [(1, 1)] * 2), 0)
+        return jnp.float32(y.sum())
+
+    for name, fn in [("stem_plain", plain), ("stem_packedA", packedA),
+                     ("stem_packedB", packedB)]:
+        print(json.dumps({"stage": name, "ms_per_img": round(timed(fn, x), 4)}),
+              flush=True)
+
+
 if __name__ == "__main__":
     main()
     main_w2()
     main_stem()
+    main_stem2()
