@@ -73,8 +73,11 @@ class HigherHRNet(nn.Module):
     # compute the deconv head and the backbone's C<=32 branch chains in
     # space-to-depth (lane-packed) layout — same parameters, same math up to
     # fp summation order, ~1.5x faster convs and un-padded stored activations
-    # (models/s2d.py). Safe everywhere; flag kept for debugging and for exact
-    # fp reproduction of the plain layout.
+    # (models/s2d.py). Safe single-chip and under pure data-parallel sharding;
+    # QUARANTINED under spatial (H-dim) sharding — the packed graph trips an
+    # XLA SPMD partitioner miscompile (parallel/spatial.py docstring); use
+    # s2d=False there. Flag also kept for exact fp reproduction of the plain
+    # layout.
     s2d: bool = True
     bn_groups: int = 1
     dtype: Dtype = jnp.float32

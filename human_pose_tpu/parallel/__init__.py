@@ -9,6 +9,13 @@ from .mesh import (
     shard_batch,
 )
 from .distributed import setup_distributed, finalize_distributed
+from .spatial import (
+    SPACE_AXIS,
+    assert_spatial_safe,
+    make_mesh_2d,
+    shard_batch_spatial,
+    spatial_sharding,
+)
 from .sync_bn import LocalBatchNorm
 
 __all__ = [
@@ -20,6 +27,11 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "SPACE_AXIS",
+    "assert_spatial_safe",
+    "make_mesh_2d",
+    "shard_batch_spatial",
+    "spatial_sharding",
     "setup_distributed",
     "finalize_distributed",
     "LocalBatchNorm",

@@ -4,12 +4,6 @@ mesh and entry() tracing (shape-level only; the full compile runs on TPU)."""
 import jax
 
 
-def test_dryrun_multichip_8():
-    import __graft_entry__
-
-    __graft_entry__.dryrun_multichip(8)
-
-
 def test_dryrun_multichip_fresh_process():
     """Run dryrun_multichip(8) exactly like the driver does: a fresh python
     process with NO conftest platform forcing — the entry point itself must

