@@ -17,6 +17,12 @@ from .spatial import (
     spatial_sharding,
 )
 from .sync_bn import LocalBatchNorm
+from .tensor import (
+    TENSOR_AXIS,
+    make_mesh_3d,
+    shard_state_tensor,
+    tensor_spec,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -35,4 +41,8 @@ __all__ = [
     "setup_distributed",
     "finalize_distributed",
     "LocalBatchNorm",
+    "TENSOR_AXIS",
+    "make_mesh_3d",
+    "shard_state_tensor",
+    "tensor_spec",
 ]
