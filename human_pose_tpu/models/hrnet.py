@@ -366,6 +366,24 @@ class HighResolutionStage(nn.Module):
         )(xs, train)
 
 
+def stage_configs(
+    C: int, num_blocks_per_stage: Sequence[int] = (1, 1, 4, 3), num_units: int = 4
+) -> list:
+    """The 4-stage HRNet topology table (reference hrnet.py:347-353):
+    ``(num_blocks, num_units, block_type, in_channels, out_channels)`` per
+    stage. Single source of truth for HRNetBackbone and the pipeline-parallel
+    splitter (parallel/pipeline.py), which re-instantiates the per-stage
+    modules standalone."""
+    C2, C4, C8 = 2 * C, 4 * C, 8 * C
+    nb, nu = num_blocks_per_stage, num_units
+    return [
+        (nb[0], nu, "bottleneck", [64], [C, C2]),
+        (nb[1], nu, "basic", [C, C2], [C, C2, C4]),
+        (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
+        (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
+    ]
+
+
 class HRNetBackbone(nn.Module):
     """4-stage HRNet backbone (reference hrnet.py:342-385).
 
@@ -404,7 +422,6 @@ class HRNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> list:
         C = self.C
-        C2, C4, C8 = 2 * C, 4 * C, 8 * C
         g = self.bn_groups
         remat_sel = (
             tuple(range(6)) if self.remat is True
@@ -426,15 +443,7 @@ class HRNetBackbone(nn.Module):
         else:
             x = stem_fn(self, x, train)
 
-        nb = self.num_blocks_per_stage
-        nu = self.num_units
-        config = [
-            # num_blocks, num_units, block_type, in_channels, out_channels
-            (nb[0], nu, "bottleneck", [64], [C, C2]),
-            (nb[1], nu, "basic", [C, C2], [C, C2, C4]),
-            (nb[2], nu, "basic", [C, C2, C4], [C, C2, C4, C8]),
-            (nb[3], nu, "basic", [C, C2, C4, C8], [C, C2, C4, C8]),
-        ]
+        config = stage_configs(C, self.num_blocks_per_stage, self.num_units)
         xs = x
         for s, (nb, nu, bt, in_ch, out_ch) in enumerate(config):
             StageCls = (

@@ -16,6 +16,7 @@ from .spatial import (
     shard_batch_spatial,
     spatial_sharding,
 )
+from .pipeline import DEFAULT_PARTITION, PipelinedModel
 from .sync_bn import LocalBatchNorm
 from .tensor import (
     TENSOR_AXIS,
@@ -41,6 +42,8 @@ __all__ = [
     "setup_distributed",
     "finalize_distributed",
     "LocalBatchNorm",
+    "DEFAULT_PARTITION",
+    "PipelinedModel",
     "TENSOR_AXIS",
     "make_mesh_3d",
     "shard_state_tensor",
