@@ -1,0 +1,65 @@
+"""Keypoints inference HTTP server with dynamic batching.
+
+The reference has no serving path (offline CLIs only,
+/root/reference/src/keypoints/bin/inference.py); this stands up one process
+owning the TPU chip(s), coalescing concurrent POST /predict requests into
+batched jitted calls (inference/serving.py).
+
+    python -m human_pose_tpu.bin.serve --config=experiments/keypoints/higher_hrnet_32.yaml \
+        --inference.ckpt_path=... [--port=8000] [--max_batch=16] [--max_wait_ms=5]
+
+    curl -X POST --data-binary @some.jpg localhost:8000/predict
+    curl localhost:8000/healthz ; curl localhost:8000/stats
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..configs.keypoints import KeypointsConfig
+from ..inference.serving import BatchedKeypointsPredictor, DynamicBatcher, make_server
+from ..loggers.pylogger import log
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
+    host, port, max_batch, max_wait_ms = "0.0.0.0", 8000, 16, 5.0
+    passthrough = []
+    for tok in argv:
+        if tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+        elif tok.startswith("--host="):
+            host = tok.split("=", 1)[1]
+        elif tok.startswith("--port="):
+            port = int(tok.split("=", 1)[1])
+        elif tok.startswith("--max_batch="):
+            max_batch = int(tok.split("=", 1)[1])
+        elif tok.startswith("--max_wait_ms="):
+            max_wait_ms = float(tok.split("=", 1)[1])
+        else:
+            passthrough.append(tok)
+
+    cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, passthrough)
+    cfg_dict.setdefault("setup", {})["is_train"] = False
+    cfg = KeypointsConfig.from_dict(cfg_dict)
+    model = cfg.create_inference_model()
+    batcher = DynamicBatcher(
+        BatchedKeypointsPredictor(model), max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    server = make_server(batcher, host=host, port=port)
+    log.info(
+        f"serving keypoints on {host}:{port} "
+        f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ from .models import (
     load_variables_from_ckpt,
 )
 from .results import ClassificationResult, InferenceKeypointsResult, KeypointsResult
+from .serving import BatchedKeypointsPredictor, DynamicBatcher, make_server
 from .visualization import (
     plot_connections,
     plot_grouped_ae_tags,
@@ -18,6 +19,9 @@ __all__ = [
     "ClassificationResult",
     "InferenceKeypointsResult",
     "KeypointsResult",
+    "BatchedKeypointsPredictor",
+    "DynamicBatcher",
+    "make_server",
     "plot_connections",
     "plot_grouped_ae_tags",
     "plot_heatmaps",

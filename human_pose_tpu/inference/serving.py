@@ -1,0 +1,265 @@
+"""Dynamic-batching inference serving (TPU-native).
+
+The reference ships only offline inference CLIs
+(/root/reference/src/keypoints/bin/inference.py); a production TPU deployment
+wants one process owning the chip and coalescing concurrent requests into
+batched jitted calls — the MXU is batch-hungry (bench.py throughput rises ~3x
+from bs1 to bs24) and XLA compiles are amortized per shape bucket, so the
+server reuses the inference model's 64-aligned / ``pad_multiple`` bucketing.
+
+Three layers, no external deps:
+
+* ``BatchedKeypointsPredictor`` — host preprocess into a bucket key, one
+  batched forward+decode per same-bucket group (scale-1, optional flip TTA via
+  the wrapped ``InferenceKeypointsModel``), inverse-affine back to raw-image
+  coordinates, JSON-ready payload per request.
+* ``DynamicBatcher`` — a worker thread drains the request queue up to
+  ``max_batch`` / ``max_wait_ms``, groups by bucket, dispatches, and wakes the
+  blocked request threads; keeps latency/batch-size counters.
+* ``serve`` — a ``ThreadingHTTPServer`` with POST ``/predict`` (JPEG/PNG via
+  cv2 or a raw ``.npy`` HxWx3 RGB array), GET ``/healthz`` and ``/stats``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.affine import transform_coords_inverse
+from ..loggers.pylogger import log
+
+
+@dataclass
+class PreparedRequest:
+    """Host-preprocessed image + the inverse-affine transform back to raw
+    coordinates. ``key`` is the jit shape bucket (padded input shape plus the
+    valid region the decode unmasks)."""
+
+    x: np.ndarray  # [1, H, W, 3] normalized, padded to the bucket shape
+    center: np.ndarray
+    scale: np.ndarray
+    valid_hw: tuple
+    key: tuple
+
+
+class BatchedKeypointsPredictor:
+    """Batched scale-1 predict over same-bucket inputs, wrapping an
+    ``InferenceKeypointsModel`` (inference/models.py) without duplicating its
+    resize/flip/decode pipeline."""
+
+    def __init__(self, infer_model):
+        self.m = infer_model
+
+    def prepare(self, image: np.ndarray) -> PreparedRequest:
+        x, center, scale = self.m.prepare_input(image)
+        # valid region = the 64-aligned size before pad_multiple bucketing
+        from ..data.affine import resize_align_multi_scale
+
+        resized, _, _ = resize_align_multi_scale(image, self.m.input_size, 1.0, 1.0)
+        valid_hw = tuple(resized.shape[:2])
+        key = (x.shape[1], x.shape[2], valid_hw)
+        return PreparedRequest(x, center, scale, valid_hw, key)
+
+    def predict(self, reqs: list[PreparedRequest]) -> list[dict]:
+        """One batched device call for a same-``key`` group."""
+        assert len({r.key for r in reqs}) == 1, "mixed buckets in one batch"
+        dtype = getattr(self.m.model, "dtype", jnp.float32)
+        batch = np.concatenate([r.x for r in reqs], axis=0)
+        hw = batch.shape[1:3]
+        avg, tags_list = self.m._forward_scale(
+            self.m.variables, jnp.asarray(batch, dtype), hw
+        )
+        joints, scores, valid, _, _ = self.m._decode_aggregated(
+            avg, tags_list, hw, 1.0, valid_hw=reqs[0].valid_hw
+        )
+        joints, scores, valid = (
+            np.asarray(joints), np.asarray(scores), np.asarray(valid),
+        )
+        out = []
+        for i, r in enumerate(reqs):
+            vh, vw = r.valid_hw
+            ji = joints[i][valid[i]]
+            coords = ji[..., :2]
+            if len(coords):
+                coords = transform_coords_inverse(coords, r.center, r.scale, (vw, vh))
+            out.append(
+                {
+                    "people": [
+                        {
+                            "keypoints": np.concatenate(
+                                [coords[p], ji[p, :, 2:3]], axis=-1
+                            ).round(2).tolist(),
+                            "score": float(scores[i][valid[i]][p]),
+                        }
+                        for p in range(len(ji))
+                    ],
+                    "num_people": int(len(ji)),
+                }
+            )
+        return out
+
+
+@dataclass
+class _Pending:
+    req: PreparedRequest
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: BaseException | None = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class DynamicBatcher:
+    """Coalesce concurrent ``submit`` calls into batched ``predict`` calls.
+
+    The worker drains up to ``max_batch`` requests or waits ``max_wait_ms``
+    after the first, then runs one device call per shape bucket present.
+    ``submit`` blocks the calling thread until its result is ready.
+    """
+
+    def __init__(
+        self,
+        predictor: BatchedKeypointsPredictor,
+        max_batch: int = 16,
+        max_wait_ms: float = 5.0,
+    ):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue[_Pending] = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.counters = {
+            "requests": 0, "batches": 0, "errors": 0,
+            "latency_ms_sum": 0.0, "latency_ms_max": 0.0,
+        }
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, image: np.ndarray, timeout: float = 60.0) -> dict:
+        p = _Pending(self.predictor.prepare(image))
+        self._q.put(p)
+        if not p.done.wait(timeout):
+            raise TimeoutError("inference request timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(group) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            by_key: dict[tuple, list[_Pending]] = {}
+            for p in group:
+                by_key.setdefault(p.req.key, []).append(p)
+            for key, ps in by_key.items():
+                try:
+                    results = self.predictor.predict([p.req for p in ps])
+                    now = time.perf_counter()
+                    with self._lock:
+                        self.counters["batches"] += 1
+                        self.counters["requests"] += len(ps)
+                    for p, r in zip(ps, results):
+                        r["batch_size"] = len(ps)
+                        lat = (now - p.t_enqueue) * 1e3
+                        r["latency_ms"] = round(lat, 2)
+                        with self._lock:
+                            self.counters["latency_ms_sum"] += lat
+                            self.counters["latency_ms_max"] = max(
+                                self.counters["latency_ms_max"], lat
+                            )
+                        p.result = r
+                        p.done.set()
+                except BaseException as e:  # propagate to the request thread
+                    with self._lock:
+                        self.counters["errors"] += len(ps)
+                    for p in ps:
+                        p.error = e
+                        p.done.set()
+
+    def stats(self) -> dict:
+        with self._lock:
+            c = dict(self.counters)
+        c["mean_batch_size"] = round(c["requests"] / max(c["batches"], 1), 2)
+        c["mean_latency_ms"] = round(c["latency_ms_sum"] / max(c["requests"], 1), 2)
+        return c
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=2.0)
+
+
+def decode_request_body(body: bytes) -> np.ndarray:
+    """JPEG/PNG (cv2, returned RGB) or a raw ``.npy`` HxWx3 uint8 RGB array."""
+    if body[:6] == b"\x93NUMPY":
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    else:
+        import cv2
+
+        bgr = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("request body is neither .npy nor a decodable image")
+        arr = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"expected HxWx3 RGB, got {arr.shape}")
+    return np.ascontiguousarray(arr)
+
+
+def make_server(batcher: DynamicBatcher, host: str = "0.0.0.0", port: int = 8000):
+    """Build (not run) the HTTP server; ``server.serve_forever()`` to run."""
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "platform": platform})
+            elif self.path == "/stats":
+                self._send(200, batcher.stats())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                image = decode_request_body(self.rfile.read(n))
+                self._send(200, batcher.submit(image))
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):
+            log.info(f"serve: {self.address_string()} {fmt % args}")
+
+    return ThreadingHTTPServer((host, port), Handler)

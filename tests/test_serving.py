@@ -1,0 +1,135 @@
+"""Serving: dynamic batching + HTTP endpoints (inference/serving.py).
+
+Pins: (1) the batched predictor's payload matches the single-image
+InferenceKeypointsModel pipeline (same decoded people, raw-image coords),
+(2) concurrent submits coalesce into one device batch, (3) the HTTP server
+answers /predict (npy + encoded image), /healthz, /stats, and rejects junk."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from human_pose_tpu.inference import InferenceKeypointsModel
+from human_pose_tpu.inference.serving import (
+    BatchedKeypointsPredictor,
+    DynamicBatcher,
+    decode_request_body,
+    make_server,
+)
+from human_pose_tpu.models import HigherHRNet
+
+TINY = dict(num_blocks_per_stage=(1, 1, 1, 1), num_units=1)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    model = HigherHRNet(num_kpts=17, C=8, num_deconv_resid_blocks=1, **TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    im = InferenceKeypointsModel(
+        model, dict(variables), input_size=128, max_num_people=5
+    )
+    return BatchedKeypointsPredictor(im)
+
+
+def _image(seed, h=160, w=160):
+    return (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(np.uint8)
+
+
+def test_batched_predict_matches_single_path(predictor):
+    raw = _image(0)
+    payload = predictor.predict([predictor.prepare(raw)])[0]
+    ref = predictor.m(raw)  # the full single-image pipeline
+
+    assert payload["num_people"] == len(ref.kpts_coords)
+    got = np.asarray([p["keypoints"] for p in payload["people"]], np.float32)
+    np.testing.assert_allclose(got[..., :2], ref.kpts_coords, atol=0.05)
+    # payload coords/scores are rounded to 2 decimals -> atol 5e-3
+    np.testing.assert_allclose(got[..., 2], ref.kpts_scores, atol=5e-3)
+
+
+def test_batcher_coalesces_concurrent_requests(predictor):
+    batcher = DynamicBatcher(predictor, max_batch=4, max_wait_ms=300.0)
+    try:
+        results = [None] * 3
+
+        def run(i):
+            results[i] = batcher.submit(_image(i))
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+        # same shape -> same bucket -> one batch of 3 (the long max_wait
+        # guarantees coalescing regardless of scheduling)
+        assert {r["batch_size"] for r in results} == {3}
+        stats = batcher.stats()
+        assert stats["requests"] == 3 and stats["batches"] == 1
+        assert stats["mean_batch_size"] == 3.0
+    finally:
+        batcher.close()
+
+
+def test_decode_request_body_npy_and_image():
+    arr = _image(7, 32, 24)
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    np.testing.assert_array_equal(decode_request_body(buf.getvalue()), arr)
+
+    import cv2
+
+    ok, enc = cv2.imencode(".png", cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+    assert ok
+    np.testing.assert_array_equal(decode_request_body(enc.tobytes()), arr)
+
+    with pytest.raises(ValueError, match="neither"):
+        decode_request_body(b"garbage bytes")
+
+
+def test_http_server_end_to_end(predictor):
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1.0)
+    server = make_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+
+        status, health = get("/healthz")
+        assert status == 200 and health["status"] == "ok"
+
+        buf = io.BytesIO()
+        np.save(buf, _image(3))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert r.status == 200
+        assert "people" in out and out["batch_size"] >= 1 and "latency_ms" in out
+        for person in out["people"]:
+            assert len(person["keypoints"]) == 17
+
+        status, stats = get("/stats")
+        assert status == 200 and stats["requests"] >= 1
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
