@@ -202,7 +202,13 @@ def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
             j0, p_match = jax.lax.while_loop(back_cond, back_body, (j0, p_match))
             return u, v, p_match
 
-        u, v, p_match = jax.lax.fori_loop(0, M, assign_row, (u0, v0, pm0))
+        # dynamic row bound: candidates are score-sorted, so valid rows are a
+        # prefix — run augmenting passes only up to the last valid row (a
+        # no-op-free exit for sparse/real scenes; dense worst case unchanged).
+        # Bounded by last-valid INDEX, not count, so it stays correct even if
+        # validity were non-contiguous.
+        n_rows = jnp.max(jnp.where(valid, row_col + 1, 0)).astype(jnp.int32)
+        u, v, p_match = jax.lax.fori_loop(0, n_rows, assign_row, (u0, v0, pm0))
 
         # ----- harvest matches ------------------------------------------------
         assign = (p_match == row_i + 1) & (lane_1 != VCOL)
@@ -377,7 +383,11 @@ def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
             _, pm = jax.lax.while_loop(back_cond, back_body, (j0, pm))
             return u, v, pm
 
-        _, _, pm = jax.lax.fori_loop(0, M, assign_row, (u0, v0, pm0))
+        # dynamic row bound (see the per-image kernel): batch-max index of the
+        # last above-threshold candidate — sparse/real scenes skip the empty
+        # row tail entirely; dense worst case unchanged.
+        n_rows = jnp.max(jnp.where(valid, rrow_c + 1, 0)).astype(jnp.int32)
+        _, _, pm = jax.lax.fori_loop(0, n_rows, assign_row, (u0, v0, pm0))
 
         # ----- harvest matches (all reductions along sublanes) ---------------
         assign = (pm == rrow + 1) & (lane != VCOL)  # [B, SUB, LANES]
