@@ -98,3 +98,47 @@ def test_pallas_match_batched(kernel):
         np.testing.assert_allclose(
             np.asarray(joints[b][:c]), np.asarray(ref_joints)[:c], atol=1e-4
         )
+
+
+@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+def test_pallas_match_mixed_sparsity_batch(kernel):
+    """Pins the dynamic row bound (batch-max last-valid candidate index):
+    one batch mixing an empty image, a single-detection image, and an
+    all-rows-valid dense image must still match the XLA path per image."""
+    k, m, e = 17, 12, 1
+    rng = np.random.RandomState(9)
+
+    empty = (
+        rng.randn(k, m, e).astype(np.float32) * 0.05,
+        rng.randint(0, 100, (k, m, 2)).astype(np.int32),
+        np.sort(rng.rand(k, m).astype(np.float32) * 0.05, axis=1)[:, ::-1],
+    )
+    single = synth_candidates(7, k=k, m=m, e=e, n_persons=1)
+    tags_d, coords_d, scores_d = synth_candidates(8, k=k, m=m, e=e, n_persons=4)
+    scores_d = np.sort(
+        (0.2 + 0.8 * rng.rand(k, m)).astype(np.float32), axis=1
+    )[:, ::-1]  # every row above det_thr -> worst-case bound == m
+    dense = (tags_d, coords_d, scores_d)
+
+    scenes = [empty, single, dense]
+    cands = [
+        np.concatenate(
+            [c.astype(np.float32), s[..., None], t], axis=-1
+        )[list(grouping.JOINTS_ORDER)]
+        for t, c, s in scenes
+    ]
+    joints, count = kernel(
+        jnp.asarray(np.stack(cands)), det_thr=0.1, tag_thr=1.0,
+        joints_order=tuple(grouping.JOINTS_ORDER), num_persons=m, interpret=True,
+    )
+    for b, (tags, coords, scores) in enumerate(scenes):
+        ref_joints, ref_valid = grouping.match_by_tag(
+            jnp.asarray(tags), jnp.asarray(coords), jnp.asarray(scores), 0.1, 1.0
+        )
+        c = int(count[b])
+        assert c == int(np.asarray(ref_valid).sum()), f"image {b}"
+        np.testing.assert_allclose(
+            np.asarray(joints[b][:c]), np.asarray(ref_joints)[:c], atol=1e-4,
+            err_msg=f"image {b}",
+        )
+    assert int(count[0]) == 0 and int(count[2]) >= 4
