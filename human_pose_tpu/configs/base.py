@@ -76,6 +76,10 @@ class TrainerConfig:
     # "flax" = single-file msgpack; "orbax" = directory-based, per-array
     # parallel IO, multi-host sharded save/restore (train/checkpoint_orbax.py)
     ckpt_backend: str = "flax"
+    # when set, capture an XLA profiler trace of a few early training steps
+    # into this directory (TensorBoard/Perfetto-viewable; utils/profiling.py)
+    profile_dir: str | None = None
+    profile_steps: int = 5
 
 
 @dataclass
@@ -259,4 +263,6 @@ class BaseConfig:
             limit_batches=self.trainer.limit_batches,
             log_path=self.log_path,
             ckpt_backend=self.trainer.ckpt_backend,
+            profile_dir=self.trainer.profile_dir,
+            profile_steps=self.trainer.profile_steps,
         )

@@ -54,6 +54,8 @@ class Trainer:
         run_sanity_check: bool = False,
         log_path: str | Path = "results/run",
         ckpt_backend: str = "flax",
+        profile_dir: str | None = None,
+        profile_steps: int = 5,
     ):
         self.logger = logger
         self.callbacks = Callbacks(callbacks)
@@ -63,6 +65,11 @@ class Trainer:
         self.run_sanity_check = run_sanity_check
         self.log_path = Path(log_path)
         self.ckpt_backend = ckpt_backend
+        # XLA profiler window (utils/profiling.py, SURVEY §5.1): captures a
+        # few early steps into profile_dir when set; no-op otherwise
+        from ..utils.profiling import StepWindowProfiler
+
+        self.profiler = StepWindowProfiler(profile_dir, steps=profile_steps)
         self.ckpt_dir = self.log_path / "checkpoints"
         self.storage = MetricsStorage()
         self.meters = {"train": Meters(), "val": Meters()}
@@ -93,7 +100,9 @@ class Trainer:
             disable=not is_main_process(),
         )
         for batch in pbar:
-            metrics = metrics_to_host(self.module.training_step(batch))
+            self.profiler.on_step(self.current_step)
+            with self.profiler.annotate(self.current_step):
+                metrics = metrics_to_host(self.module.training_step(batch))
             meters.update(metrics)
             self.storage.append(metrics, self.current_step, self.current_epoch, "train")
             self.current_step += 1
@@ -197,6 +206,9 @@ class Trainer:
             self.callbacks.on_failure(self, Status.FAILED)
             self.logger.finalize(Status.FAILED)
             raise
+        finally:
+            # close an unfinished profiler window (short runs / failures)
+            self.profiler.stop()
 
     # -- checkpointing ---------------------------------------------------------
     def save_checkpoint(self, path: str | Path) -> None:

@@ -83,7 +83,13 @@ def make_parts(run_dir, max_epochs=2):
 
 def test_fit_and_artifacts(run_dir):
     trainer, module, dm = make_parts(run_dir)
+    # XLA profiler window (utils/profiling.py): piggyback on this fit run
+    from human_pose_tpu.utils.profiling import StepWindowProfiler
+
+    trainer.profiler = StepWindowProfiler(str(run_dir / "trace"), start=1, steps=2)
     trainer.fit(module, dm)
+    # profiler captured a TensorBoard-viewable trace of steps [1, 3)
+    assert list((run_dir / "trace").rglob("*.xplane.pb")), "no profiler trace"
     # loss decreased across epochs
     epochs = trainer.storage.aggregate_over_key("epoch").metrics["loss"]["train"]
     assert epochs[-1]["value"] < epochs[0]["value"] * 1.2
