@@ -32,6 +32,20 @@ NOW = time.strftime("%Y-%m-%d_%H-%M-%S")
 RESULTS_PATH = Path("results")
 
 
+def find_last_checkpoint(experiment_dir: Path, run_name: str | None = None):
+    """Newest ``last.pt`` under ``experiment_dir[/run_name]/*/checkpoints``
+    (the run-dir layout every trainer run writes), or None when the
+    experiment has never checkpointed. Both checkpoint backends qualify: the
+    flax single file and the orbax directory."""
+    root = experiment_dir / run_name if run_name else experiment_dir
+    candidates = [p for p in root.glob("**/checkpoints/last.pt") if p.exists()]
+    if not candidates:
+        return None
+    latest = max(candidates, key=lambda p: p.stat().st_mtime)
+    log.info(f"auto-resume: found {latest}")
+    return str(latest)
+
+
 @dataclass
 class TransformConfig:
     mean: list = field(default_factory=lambda: [0.485, 0.456, 0.406])
@@ -169,6 +183,15 @@ class BaseConfig:
         self.is_debug = self.trainer.limit_batches > 0
         if self.is_debug:
             self.setup.experiment_name = "debug"
+        # elastic recovery (SURVEY §5.3 — the reference relies on torchrun +
+        # manual --setup.ckpt_path): ckpt_path="auto" resolves to the newest
+        # last.pt of this experiment (this run_name if set), or a fresh start
+        # when none exists — the SAME command line works for the first launch
+        # and for every restart after a preemption.
+        if self.setup.ckpt_path == "auto":
+            self.setup.ckpt_path = find_last_checkpoint(
+                RESULTS_PATH / self.setup.experiment_name, self.setup.run_name
+            )
         if self.setup.run_name is None:
             if self.setup.ckpt_path:
                 self.setup.run_name = Path(self.setup.ckpt_path).parts[-4] \

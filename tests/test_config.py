@@ -52,6 +52,45 @@ def test_debug_mode_renames_experiment():
     assert "debug" in str(cfg.log_path)
 
 
+def test_auto_resume_checkpoint_resolution(tmp_path, monkeypatch):
+    """setup.ckpt_path='auto' resolves to the experiment's newest last.pt
+    (same command line first launch and after preemption), or a fresh start
+    when none exists (SURVEY §5.3 elastic recovery)."""
+    import os
+    import time as time_mod
+
+    from human_pose_tpu.configs import base as cfg_base
+
+    monkeypatch.setattr(cfg_base, "RESULTS_PATH", tmp_path)
+
+    # no checkpoints anywhere -> fresh start
+    cfg = KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "kp", "ckpt_path": "auto"}}
+    )
+    assert cfg.setup.ckpt_path is None
+
+    old = tmp_path / "kp" / "run_a" / "2026-01-01_00-00-00" / "checkpoints" / "last.pt"
+    new = tmp_path / "kp" / "run_b" / "2026-01-02_00-00-00" / "checkpoints" / "last.pt"
+    for p in (old, new):
+        p.parent.mkdir(parents=True)
+        p.write_bytes(b"ckpt")
+    past = time_mod.time() - 3600
+    os.utime(old, (past, past))
+
+    cfg = KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "kp", "ckpt_path": "auto"}}
+    )
+    assert cfg.setup.ckpt_path == str(new)
+    # run_name derived from the resolved path -> resumes the same run lineage
+    assert cfg.setup.run_name == "run_b"
+
+    # restricting to a run_name picks that run's checkpoint
+    cfg = KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "kp", "ckpt_path": "auto", "run_name": "run_a"}}
+    )
+    assert cfg.setup.ckpt_path == str(old)
+
+
 def test_reference_yaml_files_parse():
     kp = KeypointsConfig.from_dict(
         KeypointsConfig.from_yaml_to_dict("experiments/keypoints/higher_hrnet_32.yaml", [])
