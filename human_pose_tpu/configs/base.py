@@ -140,6 +140,10 @@ class LRSchedulerConfig:
 class ModuleConfig:
     optimizers: dict = field(default_factory=dict)
     lr_schedulers: dict = field(default_factory=dict)
+    # >1: split each batch into this many microbatches inside the jitted step,
+    # averaging grads (train/steps.py) — reference-scale effective batches in
+    # one-microbatch activation memory
+    accumulate_grad_batches: int = 1
 
 
 @dataclass

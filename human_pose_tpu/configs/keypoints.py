@@ -128,6 +128,7 @@ class KeypointsConfig(BaseConfig):
             lr_schedulers_cfg=unstruct_optims(self.module.lr_schedulers),
             seed=self.setup.seed,
             mesh=mesh,
+            accumulate_grad_batches=self.module.accumulate_grad_batches,
         )
 
     def create_inference_model(self, ckpt_path: str | None = None, device=None):

@@ -27,6 +27,8 @@ from .callbacks import (
     default_callbacks,
 )
 from .steps import (
+    accumulated_classification_train_step,
+    accumulated_keypoints_train_step,
     classification_train_step,
     classification_val_step,
     keypoints_train_step,
@@ -70,6 +72,8 @@ __all__ = [
     "create_lr_scheduler",
     "set_learning_rate",
     "LRScheduler",
+    "accumulated_classification_train_step",
+    "accumulated_keypoints_train_step",
     "classification_train_step",
     "classification_val_step",
     "keypoints_train_step",

@@ -20,6 +20,8 @@ from ..parallel import shard_batch
 from .optim import LRScheduler, create_lr_scheduler, create_optimizer
 from .state import TrainState
 from .steps import (
+    accumulated_classification_train_step,
+    accumulated_keypoints_train_step,
     classification_train_step,
     classification_val_step,
     keypoints_train_step,
@@ -36,11 +38,16 @@ class BaseModule:
         state: TrainState,
         schedulers: dict[str, LRScheduler],
         mesh=None,
+        accumulate_grad_batches: int = 1,
     ):
         self.model = model
         self.state = state
         self.schedulers = schedulers
         self.mesh = mesh
+        # >1: split each batch into that many microbatches inside the jitted
+        # step, averaging grads (train/steps.py _accumulated_step) — the
+        # memory route to reference-scale effective batches without remat
+        self.accumulate_grad_batches = accumulate_grad_batches
         self.total_batches: dict[str, int] = {}
 
     # -- factory -------------------------------------------------------------
@@ -54,6 +61,7 @@ class BaseModule:
         seed: int = 42,
         init_weights: Callable | None = None,
         mesh=None,
+        accumulate_grad_batches: int = 1,
     ) -> "BaseModule":
         """Build state from config dicts shaped like the reference yaml
         (module.optimizers./module.lr_schedulers., single 'optim' entry)."""
@@ -84,7 +92,10 @@ class BaseModule:
             )
         if not schedulers:
             schedulers["optim"] = create_lr_scheduler(lr, "ConstantLR")
-        return cls(model, state, schedulers, mesh=mesh)
+        return cls(
+            model, state, schedulers, mesh=mesh,
+            accumulate_grad_batches=accumulate_grad_batches,
+        )
 
     # -- lr ------------------------------------------------------------------
     @property
@@ -170,11 +181,16 @@ class ClassificationModule(BaseModule):
             optimizers_cfg or {"optim": {"name": "SGD", "params": {"lr": 0.1}}},
             lr_schedulers_cfg or {},
             seed=seed, init_weights=init_classification_weights, mesh=mesh,
+            accumulate_grad_batches=kw.get("accumulate_grad_batches", 1),
         )
 
     def training_step(self, batch: dict) -> dict:
         batch = self.batch_to_device(batch)
-        self.state, metrics = classification_train_step(
+        if self.accumulate_grad_batches > 1:
+            step = accumulated_classification_train_step(self.accumulate_grad_batches)
+        else:
+            step = classification_train_step
+        self.state, metrics = step(
             self.state, batch["images"], batch["labels"], self.lr
         )
         self.on_step_end()
@@ -199,11 +215,16 @@ class KeypointsModule(BaseModule):
             optimizers_cfg or {"optim": {"name": "Adam", "params": {"lr": 1e-3}}},
             lr_schedulers_cfg or {},
             seed=seed, init_weights=init_keypoints_weights, mesh=mesh,
+            accumulate_grad_batches=kw.get("accumulate_grad_batches", 1),
         )
 
     def training_step(self, batch: dict) -> dict:
         batch = self.batch_to_device(batch)
-        self.state, metrics = keypoints_train_step(self.state, batch, self.lr)
+        if self.accumulate_grad_batches > 1:
+            step = accumulated_keypoints_train_step(self.accumulate_grad_batches)
+        else:
+            step = keypoints_train_step
+        self.state, metrics = step(self.state, batch, self.lr)
         self.on_step_end()
         return metrics
 

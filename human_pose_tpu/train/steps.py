@@ -51,9 +51,8 @@ def topk_error(logits, labels, k):
 # ---------------------------------------------------------------------------
 
 
-def classification_train_step_body(state: TrainState, images, labels, lr):
-    """Unjitted step body — used by the jitted step below and by benchmark
-    harnesses that trace it inside a fori_loop."""
+def _classification_grads(state: TrainState, images, labels):
+    """(grads, new batch_stats, metrics) for one (micro)batch."""
 
     def loss_fn(params):
         out, new_stats = _apply_train(state.replace(params=params), images)
@@ -63,12 +62,19 @@ def classification_train_step_body(state: TrainState, images, labels, lr):
     (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
-    params, opt_state = _update(state, grads, lr)
     metrics = {
         "loss": loss,
         "top-1_error": topk_error(logits, labels, 1),
         "top-5_error": topk_error(logits, labels, 5),
     }
+    return grads, new_stats, metrics
+
+
+def classification_train_step_body(state: TrainState, images, labels, lr):
+    """Unjitted step body — used by the jitted step below and by benchmark
+    harnesses that trace it inside a fori_loop."""
+    grads, new_stats, metrics = _classification_grads(state, images, labels)
+    params, opt_state = _update(state, grads, lr)
     new_state = state.replace(
         step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
     )
@@ -103,9 +109,8 @@ def _keypoints_losses(out, batch):
     return total, metrics
 
 
-def keypoints_train_step_body(state: TrainState, batch: dict, lr):
-    """Unjitted step body — used by the jitted step below and by benchmark
-    harnesses that trace it inside a fori_loop."""
+def _keypoints_grads(state: TrainState, batch: dict):
+    """(grads, new batch_stats, metrics) for one (micro)batch."""
 
     def loss_fn(params):
         out, new_stats = _apply_train(state.replace(params=params), batch["images"])
@@ -115,6 +120,13 @@ def keypoints_train_step_body(state: TrainState, batch: dict, lr):
     (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    return grads, new_stats, metrics
+
+
+def keypoints_train_step_body(state: TrainState, batch: dict, lr):
+    """Unjitted step body — used by the jitted step below and by benchmark
+    harnesses that trace it inside a fori_loop."""
+    grads, new_stats, metrics = _keypoints_grads(state, batch)
     params, opt_state = _update(state, grads, lr)
     new_state = state.replace(
         step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
@@ -139,3 +151,78 @@ def keypoints_val_step(state: TrainState, batch: dict):
     out = state.apply_fn(state.variables(), batch["images"], train=False)
     _, metrics = _keypoints_losses(out, batch)
     return metrics, out
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation
+# ---------------------------------------------------------------------------
+
+
+def _accumulated_step(grad_fn, state: TrainState, micro_batches, lr, n_micro: int):
+    """lax.scan over microbatches: grads average, BatchNorm running stats
+    thread sequentially (each microbatch sees the previous one's stats, like
+    n_micro consecutive reference steps), metrics average. One optimizer
+    update at the end. Activation memory is that of ONE microbatch — the
+    TPU-idiomatic route to reference-scale effective batches on small-HBM
+    chips, complementary to remat (which re-computes instead of splitting)."""
+
+    def body(carry, mb):
+        stats, acc = carry
+        grads, new_stats, metrics = grad_fn(state.replace(batch_stats=stats), mb)
+        acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+        return (new_stats, acc), metrics
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    (new_stats, acc), metrics = jax.lax.scan(
+        body, (state.batch_stats, zeros), micro_batches
+    )
+    grads = jax.tree_util.tree_map(lambda g: g / n_micro, acc)
+    params, opt_state = _update(state, grads, lr)
+    metrics = jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+    new_state = state.replace(
+        step=state.step + 1, params=params, batch_stats=new_stats, opt_state=opt_state
+    )
+    return new_state, metrics
+
+
+def _split_micro(tree, n_micro: int):
+    def split(x):
+        n = x.shape[0]
+        if n % n_micro:
+            raise ValueError(f"batch {n} not divisible by {n_micro} microbatches")
+        return x.reshape((n_micro, n // n_micro) + x.shape[1:])
+
+    return jax.tree_util.tree_map(split, tree)
+
+
+@functools.lru_cache(maxsize=None)
+def accumulated_keypoints_train_step(n_micro: int):
+    """Jitted keypoints step averaging grads over ``n_micro`` microbatches.
+    Semantics match ``keypoints_train_step`` on the full batch exactly for
+    everything except BatchNorm batch statistics (computed per microbatch —
+    the same deviation the reference would have running smaller batches)."""
+
+    @functools.partial(jax.jit, donate_argnames=("state", "batch"))
+    def step(state: TrainState, batch: dict, lr):
+        return _accumulated_step(
+            _keypoints_grads, state, _split_micro(batch, n_micro), lr, n_micro
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def accumulated_classification_train_step(n_micro: int):
+    """Jitted classification step averaging grads over ``n_micro``
+    microbatches (see accumulated_keypoints_train_step)."""
+
+    @functools.partial(jax.jit, donate_argnames=("state", "images"))
+    def step(state: TrainState, images, labels, lr):
+        micro = _split_micro({"images": images, "labels": labels}, n_micro)
+
+        def grad_fn(st, mb):
+            return _classification_grads(st, mb["images"], mb["labels"])
+
+        return _accumulated_step(grad_fn, state, micro, lr, n_micro)
+
+    return step

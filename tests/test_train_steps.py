@@ -191,3 +191,71 @@ def test_batch_to_device_copies_committed_arrays():
     dev8 = jnp.arange(16.0).reshape(8, 2)
     out_m = module_m.batch_to_device({"a": dev8})
     assert out_m["a"] is not dev8
+
+
+def test_gradient_accumulation_matches_sequential_oracle():
+    """accumulated_classification_train_step == python-loop oracle: grads
+    averaged over microbatches, BN stats threaded sequentially, one update."""
+    from human_pose_tpu.train import accumulated_classification_train_step
+    from human_pose_tpu.train.steps import _classification_grads, _update
+
+    rng = jax.random.PRNGKey(1)
+    # the jitted steps DONATE state: use two identical, independently built
+    # states (same rng -> same init) for the accumulated call and the oracle
+    state0 = make_cls_state(rng)
+    state_oracle = make_cls_state(rng)
+    images = jax.random.normal(rng, (8, 32, 32, 3))
+    labels = jnp.arange(8) % 13
+
+    state_acc, metrics_acc = accumulated_classification_train_step(2)(
+        state0, images, labels, 0.05
+    )
+    state0 = state_oracle
+
+    # oracle: explicit python loop with the same semantics
+    st = state0
+    grads_sum = None
+    stats = state0.batch_stats
+    losses = []
+    for j in range(2):
+        sl = slice(4 * j, 4 * (j + 1))
+        g, stats, m = jax.jit(_classification_grads)(
+            st.replace(batch_stats=stats), images[sl], labels[sl]
+        )
+        losses.append(float(m["loss"]))
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / 2.0, grads_sum)
+    params, _ = _update(state0, grads, 0.05)
+
+    np.testing.assert_allclose(
+        float(metrics_acc["loss"]), np.mean(losses), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_acc.params), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_acc.batch_stats),
+        jax.tree_util.tree_leaves(stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(state_acc.step) == 1
+
+
+def test_gradient_accumulation_n1_equals_plain_step():
+    from human_pose_tpu.train import accumulated_classification_train_step
+
+    rng = jax.random.PRNGKey(2)
+    state_a = make_cls_state(rng)
+    state_b = make_cls_state(rng)  # steps donate state: independent copies
+    images = jax.random.normal(rng, (4, 32, 32, 3))
+    labels = jnp.arange(4) % 13
+    s1, m1 = classification_train_step(state_a, images, labels, 0.05)
+    s2, m2 = accumulated_classification_train_step(1)(state_b, images, labels, 0.05)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
