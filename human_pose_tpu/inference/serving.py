@@ -70,10 +70,19 @@ class BatchedKeypointsPredictor:
         return PreparedRequest(x, center, scale, valid_hw, key)
 
     def predict(self, reqs: list[PreparedRequest]) -> list[dict]:
-        """One batched device call for a same-``key`` group."""
+        """One batched device call for a same-``key`` group. The batch dim is
+        padded up to a power of two so a steady mix of coalesced sizes
+        compiles log2(max_batch)+1 programs instead of one per size (pad
+        images are zeros; their decoded junk is sliced off)."""
         assert len({r.key for r in reqs}) == 1, "mixed buckets in one batch"
         dtype = getattr(self.m.model, "dtype", jnp.float32)
         batch = np.concatenate([r.x for r in reqs], axis=0)
+        n = batch.shape[0]
+        n_pad = 1 << (n - 1).bit_length()  # next power of two
+        if n_pad > n:
+            batch = np.concatenate(
+                [batch, np.zeros((n_pad - n, *batch.shape[1:]), batch.dtype)]
+            )
         hw = batch.shape[1:3]
         avg, tags_list = self.m._forward_scale(
             self.m.variables, jnp.asarray(batch, dtype), hw
