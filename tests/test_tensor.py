@@ -113,3 +113,36 @@ def test_opt_state_is_sharded():
     ]
     assert leaves, "no divisible conv kernels found"
     assert all(shard_dim(x) == x.shape[-1] // 2 for x in leaves)
+
+
+def test_checkpoint_roundtrip_under_tensor_sharding(tmp_path):
+    """ZeRO-sharded training must checkpoint like replicated training: saving
+    a tensor-sharded TrainState gathers full arrays (flax backend), and the
+    restored host tree equals the original parameters bit-for-bit."""
+    from human_pose_tpu.train.checkpoint import load_train_state, save_checkpoint
+    from human_pose_tpu.train.checkpoint import load_checkpoint
+
+    model = HigherHRNet(s2d=False, **TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    host_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    tx = create_optimizer("Adam", lr=1e-3)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    state = shard_state_tensor(make_mesh_3d(4, 1, 2), state)
+
+    path = tmp_path / "ckpt.pt"
+    save_checkpoint(path, state, epoch=3)
+    assert load_checkpoint(path)["epoch"] == 3
+
+    fresh = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    restored = load_train_state(fresh, load_checkpoint(path))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(host_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), b)
