@@ -1,5 +1,5 @@
 # Counterpart of the reference Makefile (env/dirs/data-prep/eval targets)
-.PHONY: dirs coco imagenet save_coco_annots test bench train_keypoints train_classification eval_coco native
+.PHONY: dirs coco imagenet save_coco_annots test bench train_keypoints train_classification eval_coco native serve bench_serve
 
 native:
 	cd native && python setup.py build_ext --inplace -q && cp hp_native*.so ../human_pose_tpu/data/
@@ -39,3 +39,9 @@ train_classification:
 
 eval_coco:
 	python -m human_pose_tpu.bin.eval_keypoints --config=experiments/keypoints/higher_hrnet_32.yaml
+
+serve:
+	python -m human_pose_tpu.bin.serve --config=experiments/keypoints/higher_hrnet_32.yaml
+
+bench_serve:
+	python -m human_pose_tpu.bin.bench_serve

@@ -6,7 +6,8 @@ owning the TPU chip(s), coalescing concurrent POST /predict requests into
 batched jitted calls (inference/serving.py).
 
     python -m human_pose_tpu.bin.serve --config=experiments/keypoints/higher_hrnet_32.yaml \
-        --inference.ckpt_path=... [--port=8000] [--max_batch=16] [--max_wait_ms=5]
+        --inference.ckpt_path=... [--port=8000] [--max_batch=16] [--max_wait_ms=5] \
+        [--warmup=512x512,480x640]   # compile these raw-image shape buckets before listening
 
     curl -X POST --data-binary @some.jpg localhost:8000/predict
     curl localhost:8000/healthz ; curl localhost:8000/stats
@@ -25,6 +26,7 @@ def main() -> None:
     argv = sys.argv[1:]
     cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
     host, port, max_batch, max_wait_ms = "0.0.0.0", 8000, 16, 5.0
+    warmup = ""
     passthrough = []
     for tok in argv:
         if tok.startswith("--config="):
@@ -37,6 +39,8 @@ def main() -> None:
             max_batch = int(tok.split("=", 1)[1])
         elif tok.startswith("--max_wait_ms="):
             max_wait_ms = float(tok.split("=", 1)[1])
+        elif tok.startswith("--warmup="):
+            warmup = tok.split("=", 1)[1]
         else:
             passthrough.append(tok)
 
@@ -44,9 +48,23 @@ def main() -> None:
     cfg_dict.setdefault("setup", {})["is_train"] = False
     cfg = KeypointsConfig.from_dict(cfg_dict)
     model = cfg.create_inference_model()
+    predictor = BatchedKeypointsPredictor(model)
     batcher = DynamicBatcher(
-        BatchedKeypointsPredictor(model), max_batch=max_batch, max_wait_ms=max_wait_ms
+        predictor, max_batch=max_batch, max_wait_ms=max_wait_ms
     )
+    # pre-compile the requested raw-shape buckets (batch sizes 1 and
+    # max_batch's power-of-two bucket) so the first real request never waits
+    # on XLA
+    import numpy as np
+
+    for spec in filter(None, warmup.split(",")):
+        h, w = (int(v) for v in spec.split("x"))
+        img = np.zeros((h, w, 3), np.uint8)
+        n = 1
+        while n <= 1 << (max_batch - 1).bit_length():  # all po2 batch buckets
+            predictor.predict([predictor.prepare(img) for _ in range(n)])
+            n *= 2
+        log.info(f"warmed up {spec}")
     server = make_server(batcher, host=host, port=port)
     log.info(
         f"serving keypoints on {host}:{port} "
