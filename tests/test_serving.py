@@ -133,3 +133,31 @@ def test_http_server_end_to_end(predictor):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_batcher_splits_mixed_shape_buckets(predictor):
+    """Requests with different raw shapes coalesce into SEPARATE device
+    batches (per shape bucket) within one drain window — both succeed."""
+    batcher = DynamicBatcher(predictor, max_batch=4, max_wait_ms=300.0)
+    try:
+        results = {}
+
+        def run(name, img):
+            results[name] = batcher.submit(img)
+
+        threads = [
+            threading.Thread(target=run, args=("square", _image(0, 160, 160))),
+            threading.Thread(target=run, args=("wide", _image(1, 120, 240))),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(results) == {"square", "wide"}
+        assert all("people" in r for r in results.values())
+        stats = batcher.stats()
+        assert stats["requests"] == 2
+        # distinct shape buckets -> they cannot share a device batch
+        assert all(r["batch_size"] == 1 for r in results.values())
+    finally:
+        batcher.close()
