@@ -153,7 +153,10 @@ class DynamicBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, image: np.ndarray, timeout: float = 60.0) -> dict:
+    def submit(self, image: np.ndarray, timeout: float = 600.0) -> dict:
+        # default generous enough for a cold-bucket XLA compile (minutes on a
+        # full-size model); use --warmup in bin/serve.py to avoid paying it
+        # on a live request
         p = _Pending(self.predictor.prepare(image))
         self._q.put(p)
         if not p.done.wait(timeout):

@@ -29,20 +29,28 @@ step_trace = jax.profiler.StepTraceAnnotation
 
 
 class StepWindowProfiler:
-    """Capture a [start, start+steps) window of training steps into
-    ``trace_dir``. Driven by ``on_step(global_step)`` calls; inactive (and
-    free) when ``trace_dir`` is falsy."""
+    """Capture a ``steps``-long window of training steps into ``trace_dir``,
+    beginning ``start`` steps after the first step this run executes (skipping
+    the compile-heavy step 0; resume-safe). Driven by ``on_step(global_step)``
+    calls; inactive (and free) when ``trace_dir`` is falsy."""
 
     def __init__(self, trace_dir: str | None, start: int = 2, steps: int = 5):
         self.trace_dir = trace_dir
         self.start = start
         self.steps = steps
         self._exit: contextlib.ExitStack | None = None
+        self._first: int | None = None
         self.done = trace_dir is None or not trace_dir
 
     def on_step(self, global_step: int) -> None:
         if self.done:
             return
+        if self._first is None:
+            # ``start`` is an offset from the first step THIS RUN executes
+            # (resumed runs begin at an arbitrary global step), skipping the
+            # compile-heavy first step(s)
+            self._first = global_step
+            self.start = global_step + self.start
         if self._exit is None and global_step >= self.start:
             self._exit = contextlib.ExitStack()
             self._exit.enter_context(trace(self.trace_dir))
