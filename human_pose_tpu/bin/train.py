@@ -7,7 +7,6 @@ finalization are preserved.
 
 from __future__ import annotations
 
-from ..loggers.loggers import Status
 from ..loggers.pylogger import log
 from ..parallel.distributed import finalize_distributed, setup_distributed
 

@@ -23,7 +23,7 @@ from ..data.transforms import (
     normalize,
 )
 from ..ops.decode import decode_batch
-from ..ops.flip import COCO_FLIP_INDEX, flip_back, merge_flip_heatmaps
+from ..ops.flip import flip_back, merge_flip_heatmaps
 from ..ops.heatmaps import average_stages, resize_bilinear
 from ..ops.sppe import sppe_parse
 from ..train.checkpoint import load_checkpoint, load_train_state

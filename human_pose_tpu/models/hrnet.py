@@ -29,7 +29,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .norm import BN_EPS, BN_MOMENTUM, batch_norm
+from .norm import batch_norm
 
 Dtype = Any
 

@@ -8,12 +8,12 @@ weights here come from scratch or checkpoint partial-load.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import BasicBlock, Bottleneck
+from .hrnet import Bottleneck
 from .norm import batch_norm
 
 Dtype = Any
