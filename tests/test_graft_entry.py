@@ -21,7 +21,10 @@ def test_dryrun_multichip_fresh_process():
     }
     proc = subprocess.run(
         [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=570,
+        # the dryrun now compiles THREE strategies (dp, 3-D dp x sp x tp,
+        # 4-segment pipeline); under 2-worker xdist contention on this 1-core
+        # host that can exceed 10 min
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "mesh_devices=8" in proc.stdout
