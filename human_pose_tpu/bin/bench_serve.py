@@ -67,7 +67,13 @@ def main() -> None:
     images = [
         (rs.rand(size, size, 3) * 255).astype(np.uint8) for _ in range(4)
     ]
-    batcher.submit(images[0])  # warmup: compile the bucket
+    # warmup EVERY power-of-two batch bucket the batcher can form, so the
+    # measurement window times serving, not XLA compiles
+    predictor = batcher.predictor
+    n = 1
+    while n <= 1 << (args["max_batch"] - 1).bit_length():
+        predictor.predict([predictor.prepare(images[0]) for _ in range(n)])
+        n *= 2
 
     latencies: list[float] = []
     lock = threading.Lock()

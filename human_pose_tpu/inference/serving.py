@@ -57,15 +57,27 @@ class BatchedKeypointsPredictor:
     resize/flip/decode pipeline."""
 
     def __init__(self, infer_model):
+        # duck-check up front: SPPE inference models (InferenceSPPEModel)
+        # have a different decode path and can't be batch-served by this
+        # predictor — fail at construction with a pointed message instead of
+        # an AttributeError on the first live request
+        for attr in ("_forward_scale", "_decode_aggregated", "prepare_input"):
+            if not hasattr(infer_model, attr):
+                raise TypeError(
+                    f"{type(infer_model).__name__} lacks {attr}; the serving "
+                    "batcher supports the bottom-up InferenceKeypointsModel "
+                    "(HigherHRNet) only"
+                )
         self.m = infer_model
 
     def prepare(self, image: np.ndarray) -> PreparedRequest:
         x, center, scale = self.m.prepare_input(image)
         # valid region = the 64-aligned size before pad_multiple bucketing
-        from ..data.affine import resize_align_multi_scale
+        # (size computation only — no second warpAffine of the raw image)
+        from ..data.affine import get_multi_scale_size
 
-        resized, _, _ = resize_align_multi_scale(image, self.m.input_size, 1.0, 1.0)
-        valid_hw = tuple(resized.shape[:2])
+        (vw, vh), _, _ = get_multi_scale_size(image, self.m.input_size, 1.0, 1.0)
+        valid_hw = (vh, vw)
         key = (x.shape[1], x.shape[2], valid_hw)
         return PreparedRequest(x, center, scale, valid_hw, key)
 
@@ -219,6 +231,15 @@ class DynamicBatcher:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
+        # fail anything still queued so blocked submitters wake immediately
+        # instead of sleeping out their full timeout
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("batcher closed while request was queued")
+            p.done.set()
 
 
 def decode_request_body(body: bytes) -> np.ndarray:
@@ -264,12 +285,19 @@ def make_server(batcher: DynamicBatcher, host: str = "0.0.0.0", port: int = 8000
             if self.path != "/predict":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
+            # malformed input -> 400; server-side failures -> 503 (retryable)
+            # so load balancers don't misread an overloaded/broken server as
+            # a caller error
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 image = decode_request_body(self.rfile.read(n))
-                self._send(200, batcher.submit(image))
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                self._send(200, batcher.submit(image))
+            except Exception as e:
+                self._send(503, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):
             log.info(f"serve: {self.address_string()} {fmt % args}")
