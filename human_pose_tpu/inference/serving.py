@@ -169,6 +169,8 @@ class DynamicBatcher:
         # default generous enough for a cold-bucket XLA compile (minutes on a
         # full-size model); use --warmup in bin/serve.py to avoid paying it
         # on a live request
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
         p = _Pending(self.predictor.prepare(image))
         self._q.put(p)
         if not p.done.wait(timeout):

@@ -161,3 +161,34 @@ def test_batcher_splits_mixed_shape_buckets(predictor):
         assert all(r["batch_size"] == 1 for r in results.values())
     finally:
         batcher.close()
+
+
+def test_server_error_maps_to_503(predictor):
+    """Server-side failures are 503 (retryable), not 400 (caller error)."""
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1.0)
+    server = make_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    broken = lambda reqs: (_ for _ in ()).throw(RuntimeError("device gone"))
+    orig = batcher.predictor.predict
+    try:
+        batcher.predictor.predict = broken
+        buf = io.BytesIO()
+        np.save(buf, _image(4))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 503
+    finally:
+        batcher.predictor.predict = orig
+        server.shutdown()
+        batcher.close()
+
+
+def test_batcher_close_fails_fast(predictor):
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1.0)
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(_image(5))
