@@ -66,6 +66,19 @@ def main() -> None:
             n *= 2
         log.info(f"warmed up {spec}")
     server = make_server(batcher, host=host, port=port)
+
+    # graceful preemption: SIGTERM (the TPU-VM eviction signal) stops
+    # accepting connections and fails queued requests fast instead of letting
+    # clients time out against a dead chip
+    import signal
+    import threading
+
+    def _terminate(signum, frame):
+        log.info("SIGTERM: shutting down server")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _terminate)
+
     log.info(
         f"serving keypoints on {host}:{port} "
         f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})"
