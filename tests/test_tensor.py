@@ -146,3 +146,40 @@ def test_checkpoint_roundtrip_under_tensor_sharding(tmp_path):
         jax.tree_util.tree_leaves(host_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_orbax_checkpoint_roundtrip_under_tensor_sharding(tmp_path):
+    """The orbax backend (multi-host sharded save) round-trips a
+    tensor-sharded TrainState: each leaf saves from its shards and restores
+    equal to the original host values."""
+    from human_pose_tpu.train import checkpoint_orbax as co
+
+    model = HigherHRNet(s2d=False, **TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    host_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    tx = create_optimizer("Adam", lr=1e-3)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    state = shard_state_tensor(make_mesh_3d(2, 1, 4), state)
+
+    path = tmp_path / "ckpt_orbax"
+    co.save_checkpoint(
+        path, state, epoch=1, datamodule_state=None, metrics_state=None,
+        callbacks_state=None, logger_state=None,
+    )
+    assert co.is_orbax_checkpoint(path)
+
+    fresh = TrainState.create(
+        model.apply,
+        jax.tree_util.tree_map(jnp.zeros_like, variables["params"]),
+        variables["batch_stats"], tx,
+    )
+    restored = co.load_train_state(fresh, co.load_checkpoint(path))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(host_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), b, atol=0)
