@@ -80,5 +80,37 @@ def main() -> None:
     )
 
 
+def wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 150.0) -> bool:
+    """The axon TPU tunnel has multi-hour outages where backend init either
+    hangs or raises UNAVAILABLE (CLAUDE.md). Probe in a SUBPROCESS (a hung
+    in-process init can't be retried) and retry within a bounded window so a
+    transient blip doesn't fail the benchmark run outright."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform == 'tpu'"],
+                timeout=probe_timeout_s, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.time() > deadline:
+            return False
+        if first:
+            print("# TPU backend unavailable; retrying for up to "
+                  f"{max_wait_s:.0f}s", flush=True)
+            first = False
+        time.sleep(30)
+
+
 if __name__ == "__main__":
+    if not wait_for_tpu():
+        raise SystemExit("TPU backend unavailable after bounded retry window")
     main()
