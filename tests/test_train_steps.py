@@ -259,3 +259,52 @@ def test_gradient_accumulation_n1_equals_plain_step():
         jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gradient_accumulation_keypoints_oracle():
+    """Keypoints-task variant of the accumulation oracle: scan grads average
+    + threaded BN stats + one update == explicit python loop."""
+    from human_pose_tpu.train import accumulated_keypoints_train_step
+    from human_pose_tpu.train.steps import _keypoints_grads, _update
+
+    def make_state():
+        model = HigherHRNet(num_kpts=17, C=8, num_deconv_resid_blocks=1, **TINY)
+        variables = model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        tx = create_optimizer("Adam", lr=1e-3)
+        return TrainState.create(
+            model.apply, variables["params"], variables["batch_stats"], tx
+        )
+
+    batch = make_kpts_batch(np.random.RandomState(4), n=4)
+    state_acc, metrics_acc = accumulated_keypoints_train_step(2)(
+        make_state(), jax.tree_util.tree_map(jnp.copy, batch), 1e-3
+    )
+
+    state0 = make_state()
+    stats = state0.batch_stats
+    grads_sum = None
+    losses = []
+    for j in range(2):
+        mb = jax.tree_util.tree_map(lambda x: x[2 * j : 2 * (j + 1)], batch)
+        g, stats, m = jax.jit(_keypoints_grads)(
+            state0.replace(batch_stats=stats), mb
+        )
+        losses.append(float(m["loss"]))
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g
+        )
+    grads = jax.tree_util.tree_map(lambda x: x / 2.0, grads_sum)
+    params, _ = _update(state0, grads, 1e-3)
+
+    np.testing.assert_allclose(float(metrics_acc["loss"]), np.mean(losses), rtol=1e-5)
+    # scan-fused vs python-loop grads differ by ~1e-8 fp summation noise,
+    # and Adam's m/sqrt(v) is direction-unstable where grads are near zero —
+    # compare at lr scale (one update moves a param by <= ~lr=1e-3). The
+    # scale-SENSITIVE sum-vs-mean averaging check is the classification
+    # oracle above (SGD+momentum, tight atol).
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_acc.params), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
