@@ -116,7 +116,7 @@ def test_config_driven_training_smoke(tmp_path, monkeypatch):
     cfg_dict = {
         "setup": {"seed": 0, "experiment_name": "kp", "architecture": "HigherHRNet"},
         "trainer": {"accelerator": "cpu", "max_epochs": 1, "limit_batches": 1,
-                    "use_DDP": False},
+                    "use_DDP": False, "profile_steps": 1},
         "dataloader": {
             "batch_size": 2,
             "num_workers": 1,
@@ -130,6 +130,9 @@ def test_config_driven_training_smoke(tmp_path, monkeypatch):
             "optimizers": {"optim": {"name": "Adam", "params": {"lr": 0.001}}},
             "lr_schedulers": {"optim": {"name": "MultiStepLR", "interval": "epoch",
                                          "params": {"milestones": [200], "gamma": 0.1}}},
+            # exercises the yaml -> ModuleConfig -> module wiring of the
+            # microbatch-accumulated train step (batch 2 -> 2 microbatches)
+            "accumulate_grad_batches": 2,
         },
         "net": {"params": {"num_kpts": 17, "C": 8,
                             "num_blocks_per_stage": [1, 1, 1, 1], "num_units": 1,
@@ -138,7 +141,15 @@ def test_config_driven_training_smoke(tmp_path, monkeypatch):
     cfg = KeypointsConfig.from_dict(cfg_dict)
     dm = cfg.create_datamodule()
     module = cfg.create_module()
+    assert module.accumulate_grad_batches == 2
     trainer = cfg.create_trainer()
     trainer.fit(module, dm)
     assert trainer.current_step == 1
     assert (cfg.log_path / "checkpoints" / "last.pt").exists()
+
+    # setup.ckpt_path="auto" resolves to the checkpoint this run just wrote
+    # (RESULTS_PATH is cwd-relative and we're chdir'd into tmp_path)
+    cfg2 = KeypointsConfig.from_dict(
+        {**cfg_dict, "setup": {**cfg_dict["setup"], "ckpt_path": "auto"}}
+    )
+    assert cfg2.setup.ckpt_path and cfg2.setup.ckpt_path.endswith("last.pt")
