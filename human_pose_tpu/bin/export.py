@@ -1,0 +1,51 @@
+"""Model export CLI (counterpart of the reference's ONNX export surface,
+/root/reference/src/base/model.py:66-75 — the TPU-portable artifact is
+StableHLO via jax.export, plus a framework-agnostic flat-weights npz).
+
+    python -m human_pose_tpu.bin.export --config=experiments/keypoints/higher_hrnet_32.yaml \
+        [--inference.ckpt_path=...] [--out=exports] [--input_size=512]
+
+Writes <out>/<architecture>.stablehlo and <out>/<architecture>.weights.npz.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from ..configs.keypoints import KeypointsConfig
+from ..loggers.pylogger import log
+from ..utils.export import export_stablehlo, export_weights_npz
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
+    out, input_size = "exports", None
+    passthrough = []
+    for tok in argv:
+        if tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+        elif tok.startswith("--out="):
+            out = tok.split("=", 1)[1]
+        elif tok.startswith("--input_size="):
+            input_size = int(tok.split("=", 1)[1])
+        else:
+            passthrough.append(tok)
+
+    cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, passthrough)
+    cfg_dict.setdefault("setup", {})["is_train"] = False
+    cfg = KeypointsConfig.from_dict(cfg_dict)
+    infer = cfg.create_inference_model()
+    model, variables = infer.model, infer.variables
+    size = input_size or cfg.inference.input_size
+
+    arch = cfg.setup.architecture or type(model).__name__
+    out_dir = Path(out)
+    export_stablehlo(model, variables, (size, size, 3), out_dir / f"{arch}.stablehlo")
+    export_weights_npz(variables, out_dir / f"{arch}.weights.npz")
+    log.info(f"export complete: {out_dir}/{arch}.(stablehlo|weights.npz)")
+
+
+if __name__ == "__main__":
+    main()
