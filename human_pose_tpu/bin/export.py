@@ -3,7 +3,8 @@
 StableHLO via jax.export, plus a framework-agnostic flat-weights npz).
 
     python -m human_pose_tpu.bin.export --config=experiments/keypoints/higher_hrnet_32.yaml \
-        [--inference.ckpt_path=...] [--out=exports] [--input_size=512]
+        [--task=keypoints|classification] [--inference.ckpt_path=...] \
+        [--out=exports] [--input_size=512]
 
 Writes <out>/<architecture>.stablehlo and <out>/<architecture>.weights.npz.
 """
@@ -13,7 +14,6 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-from ..configs.keypoints import KeypointsConfig
 from ..loggers.pylogger import log
 from ..utils.export import export_stablehlo, export_weights_npz
 
@@ -21,7 +21,7 @@ from ..utils.export import export_stablehlo, export_weights_npz
 def main() -> None:
     argv = sys.argv[1:]
     cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
-    out, input_size = "exports", None
+    out, input_size, task = "exports", None, None
     passthrough = []
     for tok in argv:
         if tok.startswith("--config="):
@@ -30,12 +30,21 @@ def main() -> None:
             out = tok.split("=", 1)[1]
         elif tok.startswith("--input_size="):
             input_size = int(tok.split("=", 1)[1])
+        elif tok.startswith("--task="):
+            task = tok.split("=", 1)[1]
         else:
             passthrough.append(tok)
 
-    cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, passthrough)
+    if task is None:  # infer from the config path, default keypoints
+        task = "classification" if "classification" in cfg_path else "keypoints"
+    if task == "classification":
+        from ..configs.classification import ClassificationConfig as ConfigClass
+    else:
+        from ..configs.keypoints import KeypointsConfig as ConfigClass
+
+    cfg_dict = ConfigClass.from_yaml_to_dict(cfg_path, passthrough)
     cfg_dict.setdefault("setup", {})["is_train"] = False
-    cfg = KeypointsConfig.from_dict(cfg_dict)
+    cfg = ConfigClass.from_dict(cfg_dict)
     infer = cfg.create_inference_model()
     model, variables = infer.model, infer.variables
     size = input_size or cfg.inference.input_size
