@@ -8,7 +8,8 @@ model, runs the whole val split, writes ``val2017_results.json`` +
 Usage:
     python -m human_pose_tpu.bin.eval_keypoints \
         --config=experiments/keypoints/higher_hrnet_32.yaml \
-        --inference.ckpt_path=... [--inference.use_flip=True] [--limit=N]
+        --inference.ckpt_path=... [--inference.use_flip=True] \
+        [--inference.scales=[0.5,1,2]] [--limit=N]
 """
 
 from __future__ import annotations

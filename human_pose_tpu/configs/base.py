@@ -153,6 +153,8 @@ class InferenceConfig:
     det_thr: float = 0.05
     tag_thr: float = 0.5
     use_flip: bool = False
+    # multi-scale TTA, e.g. [0.5, 1, 2] (keypoints only); None = single scale
+    scales: list | None = None
 
 
 @dataclass

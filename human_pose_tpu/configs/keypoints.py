@@ -167,6 +167,7 @@ class KeypointsConfig(BaseConfig):
             tag_thr=self.inference.tag_thr,
             use_flip=self.inference.use_flip,
             input_size=self.inference.input_size,
+            scales=tuple(self.inference.scales or (1.0,)),
         )
 
 

@@ -82,6 +82,7 @@ class InferenceKeypointsModel:
         input_size: int = 512,
         max_num_people: int = 30,
         pad_multiple: int = 64,
+        scales: tuple = (1.0,),
     ):
         """``pad_multiple`` > 64 buckets the 64-aligned input shapes into
         coarser shape classes by zero-padding bottom/right (the decode masks
@@ -99,6 +100,7 @@ class InferenceKeypointsModel:
         self.input_size = input_size
         self.max_num_people = max_num_people
         self.pad_multiple = pad_multiple
+        self.scales = tuple(scales)
         self.model_input_shape: tuple | None = None
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
@@ -149,11 +151,13 @@ class InferenceKeypointsModel:
         return x, center, scale
 
     def __call__(
-        self, raw_image: np.ndarray, annot=None, scales=(1.0,)
+        self, raw_image: np.ndarray, annot=None, scales=None
     ) -> InferenceKeypointsResult:
         """Single- or multi-scale (e.g. scales=(0.5, 1, 2)) TTA inference.
         Heatmaps are averaged across scales at the scale-1 decode size; tag
-        maps come from scale 1 (the HigherHRNet multi-scale protocol)."""
+        maps come from scale 1 (the HigherHRNet multi-scale protocol).
+        ``scales`` defaults to the constructor's (``inference.scales``)."""
+        scales = tuple(scales) if scales is not None else self.scales
         dtype = getattr(self.model, "dtype", jnp.float32)
         min_scale = min(scales)
 

@@ -52,6 +52,28 @@ def test_keypoints_inference_flip_and_multiscale(kpts_model):
     assert result.kpts_tags.shape[-1] == 2
 
 
+def test_multiscale_config_plumbing(kpts_model):
+    """inference.scales reaches the model as its default TTA scales
+    (BASELINE.md target config: multi-scale 0.5/1/2 TTA eval)."""
+    from human_pose_tpu.configs.base import InferenceConfig
+    from human_pose_tpu.configs.cli import update_config
+    from human_pose_tpu.configs.structured import structure
+
+    merged = update_config({"inference": {}}, ["--inference.scales=[0.5,1.0]"])
+    inf = structure(merged["inference"], InferenceConfig)
+    assert inf.scales == [0.5, 1.0]
+
+    model, variables = kpts_model
+    im = InferenceKeypointsModel(
+        model, variables, input_size=128, max_num_people=5,
+        scales=tuple(inf.scales),
+    )
+    raw = (np.random.RandomState(2).rand(160, 160, 3) * 255).astype(np.uint8)
+    result = im(raw)  # defaults to the configured multi-scale TTA
+    assert im.scales == (0.5, 1.0)
+    assert result.kpts_coords.shape[1:] == (17, 2)
+
+
 def test_classification_inference():
     model = ClassificationHRNet(C=8, num_classes=10, **TINY)
     variables = model.init(
