@@ -54,7 +54,9 @@ def test_eval_keypoints_cli(env, monkeypatch):
     monkeypatch.chdir(tmp)
     monkeypatch.setattr(
         sys, "argv",
-        ["eval", f"--config={cfg}", "--limit=2"] + TINY_NET,
+        # multi-scale TTA exercises the inference.scales plumbing end-to-end
+        ["eval", f"--config={cfg}", "--limit=2", "--inference.scales=[0.5,1.0]"]
+        + TINY_NET,
     )
     from human_pose_tpu.bin.eval_keypoints import main
 
