@@ -382,9 +382,12 @@ def parse_batch(
         )  # [B, K, M, 3+E]
         order = JOINTS_ORDER[:k] if k <= len(JOINTS_ORDER) else tuple(range(k))
         cand_ordered = cand[:, jnp.asarray(order)]
+        # unroll=4: measured on v5e (prof_match.py) dense worst case
+        # 1.45 -> 1.11 ms/img, sparse neutral (0.36); exactness pinned by
+        # tests/test_pallas_match.py KERNELS.
         grouped, count = match_by_tag_pallas_batched(
             cand_ordered, det_thr=det_thr, tag_thr=tag_thr,
-            joints_order=tuple(order), num_persons=m,
+            joints_order=tuple(order), num_persons=m, unroll=4,
         )
         valid = jnp.arange(m)[None, :] < count[:, None]
     else:

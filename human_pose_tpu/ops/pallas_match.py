@@ -271,7 +271,7 @@ def _match_kernel(order_ref, cand_ref, joints_ref, count_ref, *, K, M, E, F, P,
 
 
 def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
-                          B, K, M, E, F, P, det_thr, tag_thr):
+                          B, K, M, E, F, P, det_thr, tag_thr, unroll=1):
     kfs = joints_ref.shape[1]  # K*F padded to a sublane multiple
     rrow = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANES), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, SUB, LANES), 2)
@@ -356,13 +356,24 @@ def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
                 j0 = jnp.where(act, j1, j0)
                 return u, v, pm, minv, used, way, row_used, j0
 
+            def aug_body_unrolled(c):
+                # aug_body is a per-image no-op once that image's path has
+                # terminated (everything is predicated on act), so running it
+                # `unroll` times per while_loop trip preserves semantics
+                # exactly while dividing the Mosaic loop-machinery overhead —
+                # the decode latency driver on dense scenes.
+                for _ in range(unroll):
+                    c = aug_body(c)
+                return c
+
             minv0 = jnp.full((B, 1, LANES), _INF, jnp.float32)
             used0 = jnp.zeros((B, 1, LANES), jnp.int32)
             way0 = jnp.full((B, 1, LANES), VCOL, jnp.int32)
             row_used0 = jnp.zeros((B, SUB, 1), jnp.int32)
             j00 = jnp.full((B, 1, 1), VCOL, jnp.int32)
             u, v, pm, minv, used, way, row_used, j0 = jax.lax.while_loop(
-                aug_cond, aug_body, (u, v, pm, minv0, used0, way0, row_used0, j00)
+                aug_cond, aug_body_unrolled,
+                (u, v, pm, minv0, used0, way0, row_used0, j00)
             )
 
             def back_cond(c):
@@ -443,7 +454,9 @@ def _match_kernel_batched(order_ref, cand_ref, joints_ref, count_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("det_thr", "tag_thr", "joints_order", "num_persons", "interpret"),
+    static_argnames=(
+        "det_thr", "tag_thr", "joints_order", "num_persons", "interpret", "unroll"
+    ),
 )
 def match_by_tag_pallas_batched(
     cand_ordered: jnp.ndarray,
@@ -452,12 +465,18 @@ def match_by_tag_pallas_batched(
     joints_order: tuple = (),
     num_persons: int | None = None,
     interpret: bool = False,
+    unroll: int = 1,
 ):
     """Batched-in-one-grid-cell variant of :func:`match_by_tag_pallas`.
 
     Same args and results; prefer this on TPU — the augmenting-path loops are
     shared across the batch (predicated per image), so decode latency scales
     with the max iteration count over the batch instead of the sum.
+
+    ``unroll`` runs the augmenting-path body that many times per while_loop
+    trip (exact: the body is a per-image no-op after termination); >1 trades
+    up to unroll-1 wasted body evaluations for fewer Mosaic loop-condition
+    round trips on dense scenes.
     """
     b, k, m, f = cand_ordered.shape
     e = f - 3
@@ -477,6 +496,7 @@ def match_by_tag_pallas_batched(
     kernel = functools.partial(
         _match_kernel_batched,
         B=b, K=k, M=m, E=e, F=f, P=p, det_thr=det_thr, tag_thr=tag_thr,
+        unroll=unroll,
     )
     joints_lane, cnt = pl.pallas_call(
         kernel,

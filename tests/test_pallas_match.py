@@ -1,11 +1,19 @@
 """Pallas grouping kernel vs the XLA lax.scan formulation (interpret mode)."""
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from human_pose_tpu.ops import grouping
 from human_pose_tpu.ops.pallas_match import match_by_tag_pallas, match_by_tag_pallas_batched
+
+# The production configuration unrolls the augmenting-path loop; exactness of
+# unroll>1 (the body is predicated per image, a no-op after termination) is
+# pinned by running the full parity matrix through it as a third "kernel".
+match_batched_u4 = functools.partial(match_by_tag_pallas_batched, unroll=4)
+KERNELS = [match_by_tag_pallas, match_by_tag_pallas_batched, match_batched_u4]
 
 
 def synth_candidates(seed, k=17, m=12, e=1, n_persons=4):
@@ -31,7 +39,7 @@ def synth_candidates(seed, k=17, m=12, e=1, n_persons=4):
     return tags, coords, scores
 
 
-@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("e", [1, 2])
 def test_pallas_match_parity(seed, e, kernel):
@@ -63,7 +71,7 @@ def test_pallas_match_parity(seed, e, kernel):
     np.testing.assert_allclose(joints[:count], ref_joints[:count], atol=1e-4)
 
 
-@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+@pytest.mark.parametrize("kernel", KERNELS)
 def test_pallas_match_no_candidates(kernel):
     k, m, e = 17, 8, 1
     cand = np.zeros((1, k, m, 3 + e), np.float32)
@@ -74,7 +82,7 @@ def test_pallas_match_no_candidates(kernel):
     assert int(count[0]) == 0
 
 
-@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+@pytest.mark.parametrize("kernel", KERNELS)
 def test_pallas_match_batched(kernel):
     k, m, e = 17, 10, 1
     scenes = [synth_candidates(s, k=k, m=m, e=e, n_persons=2 + s) for s in (5, 6)]
@@ -100,7 +108,7 @@ def test_pallas_match_batched(kernel):
         )
 
 
-@pytest.mark.parametrize("kernel", [match_by_tag_pallas, match_by_tag_pallas_batched])
+@pytest.mark.parametrize("kernel", KERNELS)
 def test_pallas_match_mixed_sparsity_batch(kernel):
     """Pins the dynamic row bound (batch-max last-valid candidate index):
     one batch mixing an empty image, a single-detection image, and an
