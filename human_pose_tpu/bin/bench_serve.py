@@ -35,7 +35,10 @@ def main() -> None:
         elif tok.startswith("--") and "=" in tok:
             k, v = tok[2:].split("=", 1)
             if k in args:
-                args[k] = type(args[k])(v)
+                if isinstance(args[k], bool):  # bool("false") is True
+                    args[k] = v.lower() in ("1", "true", "yes")
+                else:
+                    args[k] = type(args[k])(v)
 
     from human_pose_tpu.inference import InferenceKeypointsModel
     from human_pose_tpu.inference.serving import (
@@ -69,11 +72,7 @@ def main() -> None:
     ]
     # warmup EVERY power-of-two batch bucket the batcher can form, so the
     # measurement window times serving, not XLA compiles
-    predictor = batcher.predictor
-    n = 1
-    while n <= 1 << (args["max_batch"] - 1).bit_length():
-        predictor.predict([predictor.prepare(images[0]) for _ in range(n)])
-        n *= 2
+    batcher.predictor.warmup(images[0], args["max_batch"])
 
     latencies: list[float] = []
     lock = threading.Lock()

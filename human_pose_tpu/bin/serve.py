@@ -52,18 +52,13 @@ def main() -> None:
     batcher = DynamicBatcher(
         predictor, max_batch=max_batch, max_wait_ms=max_wait_ms
     )
-    # pre-compile the requested raw-shape buckets (batch sizes 1 and
-    # max_batch's power-of-two bucket) so the first real request never waits
-    # on XLA
+    # pre-compile every power-of-two batch bucket of each requested raw
+    # shape so the first real request never waits on XLA
     import numpy as np
 
     for spec in filter(None, warmup.split(",")):
         h, w = (int(v) for v in spec.split("x"))
-        img = np.zeros((h, w, 3), np.uint8)
-        n = 1
-        while n <= 1 << (max_batch - 1).bit_length():  # all po2 batch buckets
-            predictor.predict([predictor.prepare(img) for _ in range(n)])
-            n *= 2
+        predictor.warmup(np.zeros((h, w, 3), np.uint8), max_batch)
         log.info(f"warmed up {spec}")
     server = make_server(batcher, host=host, port=port)
 

@@ -39,10 +39,6 @@ def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
     rng = jax.random.PRNGKey(0)
     dtype = getattr(model, "dtype", jnp.float32)
     variables = model.init(rng, jnp.zeros((1, *input_shape), dtype), train=False)
-    state = TrainState.create(
-        model.apply, variables["params"], variables.get("batch_stats"),
-        create_optimizer("SGD", lr=0.0),
-    )
     from ..utils.torch_interop import is_torch_checkpoint
 
     if is_torch_checkpoint(ckpt_path):
@@ -52,6 +48,11 @@ def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
 
         sd = load_torch_state_dict(ckpt_path)
         return variables_from_torch(sd, jax.device_get(dict(variables)))
+    # native checkpoint: deserialize against a full TrainState template
+    state = TrainState.create(
+        model.apply, variables["params"], variables.get("batch_stats"),
+        create_optimizer("SGD", lr=0.0),
+    )
     ckpt = load_checkpoint(ckpt_path)
     # optimizer state in the checkpoint may belong to a different optimizer;
     # restore params/batch_stats only

@@ -81,6 +81,16 @@ class BatchedKeypointsPredictor:
         key = (x.shape[1], x.shape[2], valid_hw)
         return PreparedRequest(x, center, scale, valid_hw, key)
 
+    def warmup(self, image: np.ndarray, max_batch: int) -> None:
+        """Pre-compile every batch bucket ``predict`` can form for this
+        image's shape bucket: batch dims are padded to powers of two, so the
+        buckets are 1, 2, 4, ... up to max_batch rounded up."""
+        req = self.prepare(image)
+        n = 1
+        while n <= 1 << (max_batch - 1).bit_length():
+            self.predict([req] * n)
+            n *= 2
+
     def predict(self, reqs: list[PreparedRequest]) -> list[dict]:
         """One batched device call for a same-``key`` group. The batch dim is
         padded up to a power of two so a steady mix of coalesced sizes
@@ -173,6 +183,12 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         p = _Pending(self.predictor.prepare(image))
         self._q.put(p)
+        # re-check AFTER the put: close() may have drained the queue between
+        # the check above and the put, in which case nothing will ever read
+        # this entry — fail it now instead of sleeping out the full timeout
+        if self._stop.is_set() and not p.done.is_set():
+            p.error = RuntimeError("batcher is closed")
+            p.done.set()
         if not p.done.wait(timeout):
             raise TimeoutError("inference request timed out")
         if p.error is not None:
@@ -257,6 +273,10 @@ def decode_request_body(body: bytes) -> np.ndarray:
         arr = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
     if arr.ndim != 3 or arr.shape[-1] != 3:
         raise ValueError(f"expected HxWx3 RGB, got {arr.shape}")
+    if arr.dtype != np.uint8:
+        # enforce the documented contract: a float [0,1] array would sail
+        # through normalize as near-black pixels and return garbage with a 200
+        raise ValueError(f"expected uint8 pixels, got dtype {arr.dtype}")
     return np.ascontiguousarray(arr)
 
 

@@ -55,6 +55,19 @@ def test_batched_predict_matches_single_path(predictor):
     np.testing.assert_allclose(got[..., 2], ref.kpts_scores, atol=5e-3)
 
 
+def test_predictor_warmup_compiles_po2_buckets(predictor):
+    """warmup() must pre-run every power-of-two batch bucket predict() can
+    form (both CLIs rely on it so live requests never wait on XLA)."""
+    calls = []
+    orig = predictor.predict
+    try:
+        predictor.predict = lambda reqs: calls.append(len(reqs)) or orig(reqs)
+        predictor.warmup(_image(9), max_batch=3)
+    finally:
+        predictor.predict = orig
+    assert calls == [1, 2, 4]  # max_batch=3 pads up to the 4-bucket
+
+
 def test_batcher_coalesces_concurrent_requests(predictor):
     batcher = DynamicBatcher(predictor, max_batch=4, max_wait_ms=300.0)
     try:
@@ -93,6 +106,13 @@ def test_decode_request_body_npy_and_image():
 
     with pytest.raises(ValueError, match="neither"):
         decode_request_body(b"garbage bytes")
+
+    # shape is right but dtype isn't: must 400, not silently normalize a
+    # float [0,1] array as 0-255 pixels and return garbage with a 200
+    buf = io.BytesIO()
+    np.save(buf, arr.astype(np.float32) / 255.0)
+    with pytest.raises(ValueError, match="uint8"):
+        decode_request_body(buf.getvalue())
 
 
 def test_http_server_end_to_end(predictor):
