@@ -21,10 +21,18 @@ from __future__ import annotations
 import inspect
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Callable, Iterator
 
 import numpy as np
+
+
+class _ProducerError:
+    """Wraps an exception raised in the producer thread so the consuming
+    loop re-raises it instead of hanging on a queue that will never fill."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class DataLoader:
@@ -61,15 +69,18 @@ class DataLoader:
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
+        if n == 0:
+            return np.arange(0)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
         # shard across processes (DistributedSampler equivalent): pad to a
-        # multiple so every process sees the same number of batches
-        per = -(-n // self.process_count)
-        padded = np.concatenate([order, order[: per * self.process_count - n]])
+        # multiple so every process sees the same number of batches; cycle
+        # the permutation so shards stay equal even when n < process_count
+        total = -(-n // self.process_count) * self.process_count
+        padded = np.tile(order, -(-total // n))[:total]
         return padded[self.process_index :: self.process_count]
 
     def __len__(self) -> int:
@@ -94,14 +105,31 @@ class DataLoader:
         q: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put so a consumer that exits early (limit_batches,
+            # sanity check) can always unblock us via `stop` — a plain
+            # q.put() would leak this thread and its pool every interrupted
+            # epoch, parked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self._get_sample, batch_idx))
-                    q.put(self.collate_fn(samples))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self._get_sample, batch_idx))
+                        if not put(self.collate_fn(samples)):
+                            return
+                put(None)
+            except BaseException as e:  # surface in the training loop, don't hang it
+                put(_ProducerError(e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -110,9 +138,17 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
+            # drain so a producer mid-put sees `stop` promptly
+            while True:
+                try:
+                    q.get_nowait()
+                except Empty:
+                    break
 
     # -- resumable state (reference datamodule.py:91-106) --------------------
     # every random draw is a pure function of (seed, epoch, index), so resume

@@ -83,7 +83,8 @@ def evaluate_image(dts, gts, ious, area_rng):
             or g["area"] < area_rng[0]
             or g["area"] > area_rng[1]
             for g in gts
-        ]
+        ],
+        dtype=bool,  # empty lists otherwise default to float64 and break ~
     )
     # sort gts: non-ignored first (pycocotools order)
     g_order = np.argsort(gt_ignore0, kind="mergesort")
@@ -117,7 +118,10 @@ def evaluate_image(dts, gts, ious, area_rng):
             dtm[tind, dind] = m
             gtm[tind, m] = dind
     # unmatched dts outside the area range are ignored
-    a = np.array([_dt_area(d) < area_rng[0] or _dt_area(d) > area_rng[1] for d in dts])
+    a = np.array(
+        [_dt_area(d) < area_rng[0] or _dt_area(d) > area_rng[1] for d in dts],
+        dtype=bool,
+    )
     dt_ig = np.logical_or(dt_ig, np.logical_and(dtm < 0, np.tile(a, (T, 1))))
     return {
         "dt_scores": np.array([d["score"] for d in dts]),
@@ -143,7 +147,13 @@ class COCOKeypointsEval:
             self.img_ids = sorted({im["id"] for im in gt_annotations["images"]})
         else:
             anns = gt_annotations
-            self.img_ids = sorted({a["image_id"] for a in anns})
+            # a bare annotation list carries no dataset image index, so
+            # evaluate the union of GT and DT image ids — detections on a
+            # GT-empty image must still count as false positives (pycocotools
+            # evaluates every image in the dataset)
+            self.img_ids = sorted(
+                {a["image_id"] for a in anns} | {d["image_id"] for d in detections}
+            )
         self.gts: dict[int, list] = {}
         for a in anns:
             if a.get("category_id", 1) != 1:

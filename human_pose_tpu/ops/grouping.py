@@ -41,6 +41,15 @@ JOINTS_ORDER = tuple(
 )
 
 
+def joints_order_for(k: int) -> tuple:
+    """Grouping order for a k-joint skeleton: the reference's COCO order
+    restricted to existing joints (always a permutation of range(k) —
+    a plain ``JOINTS_ORDER[:k]`` is NOT one for k in 8..12), with any
+    joints beyond 17 appended in index order."""
+    order = tuple(j for j in JOINTS_ORDER if j < k)
+    return order + tuple(range(len(JOINTS_ORDER), k))
+
+
 
 def nms(kpts_heatmaps: jnp.ndarray, pool_size: int = 5) -> jnp.ndarray:
     """Keep only local maxima of a [K, H, W] heatmap stack (5x5 window).
@@ -142,7 +151,7 @@ def match_by_tag(
     scores_k: jnp.ndarray,
     det_thr: float = 0.1,
     tag_thr: float = 1.0,
-    joints_order=JOINTS_ORDER,
+    joints_order=None,
 ):
     """Greedy sequential grouping (reference grouping.py:85-145).
 
@@ -150,6 +159,8 @@ def match_by_tag(
     """
     k, m, e = tags_k.shape
     p = m  # person capacity == max_num_people, like the reference output cap
+    if joints_order is None:
+        joints_order = joints_order_for(k)
     order = jnp.asarray(joints_order, jnp.int32)
 
     init = _GroupState(
@@ -380,7 +391,7 @@ def parse_batch(
         cand = jnp.concatenate(
             [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
         )  # [B, K, M, 3+E]
-        order = JOINTS_ORDER[:k] if k <= len(JOINTS_ORDER) else tuple(range(k))
+        order = joints_order_for(k)
         cand_ordered = cand[:, jnp.asarray(order)]
         # unroll=4: measured on v5e (prof_match.py) dense worst case
         # 1.45 -> 1.11 ms/img, sparse neutral (0.36); exactness pinned by
@@ -391,8 +402,9 @@ def parse_batch(
         )
         valid = jnp.arange(m)[None, :] < count[:, None]
     else:
+        order = joints_order_for(k)
         grouped, valid = jax.vmap(
-            lambda t, c, s: match_by_tag(t, c, s, det_thr, tag_thr)
+            lambda t, c, s: match_by_tag(t, c, s, det_thr, tag_thr, order)
         )(tags_k, coords_k, scores_k)
 
     # fallback: no grouped persons -> single best-per-joint person with

@@ -45,6 +45,25 @@ def run(gts, dts, img_ids):
     return ev.evaluate()
 
 
+def test_list_form_gt_counts_fp_on_gt_empty_image():
+    """List-form GT (no 'images' index): a detection on an image with no GT
+    annotations must still be evaluated as a false positive — deriving the
+    image set from GT alone would silently drop it and inflate AP."""
+    P1 = [(20, 20)]
+    gts = [gt_ann(1, 1, P1)]
+    dts_clean = [dt_ann(1, P1, 0.9)]
+    dts_fp = dts_clean + [dt_ann(2, [(50, 50)], 0.95)]  # image 2 has no GT
+
+    clean = COCOKeypointsEval(gts, dts_clean).evaluate()
+    with_fp = COCOKeypointsEval(gts, dts_fp).evaluate()
+    np.testing.assert_allclose(clean[0], 1.0, atol=1e-9)
+    # the higher-scored FP precedes the TP on the PR curve -> AP must drop
+    assert with_fp[0] < clean[0]
+    # and the dict form with an explicit image index agrees exactly
+    dict_form = run(gts, dts_fp, [1, 2])
+    np.testing.assert_allclose(with_fp, dict_form, atol=1e-9)
+
+
 def test_crowd_gt_absorbs_multiple_dts():
     """A crowd gt is ignore (pycocotools _prepare) and, unlike normal gts,
     can be matched by MANY detections — none of them become FPs, and the

@@ -281,6 +281,73 @@ def test_loader_determinism_and_resume(coco_root):
     np.testing.assert_array_equal(img_shard0, img_full0)
 
 
+class _ArrayDataset:
+    def __init__(self, n=8, fail_at=None):
+        self.n = n
+        self.fail_at = fail_at
+        self.calls = 0
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        self.calls += 1
+        if i == self.fail_at:
+            raise ValueError("corrupt sample")
+        return np.full((2,), i, np.float32)
+
+
+def test_loader_producer_exception_propagates():
+    """A dataset/collate error must surface in the training loop, not leave
+    it blocked forever on a queue the dead producer never fills."""
+    import pytest as _pytest
+
+    dl = DataLoader(
+        _ArrayDataset(8, fail_at=3), batch_size=2, collate_fn=np.stack,
+        shuffle=False, num_workers=2, seed=0,
+    )
+    with _pytest.raises(ValueError, match="corrupt sample"):
+        list(dl)
+
+
+def test_loader_early_exit_unblocks_producer():
+    """Breaking out of iteration (limit_batches / sanity check) must stop the
+    producer even when it is parked in a full-queue put, instead of leaking
+    the thread + pool with a batch pinned in memory every interrupted epoch."""
+    import threading
+    import time
+
+    baseline = threading.active_count()
+    dl = DataLoader(
+        _ArrayDataset(64), batch_size=2, collate_fn=np.stack,
+        shuffle=False, num_workers=2, prefetch=1, seed=0,
+    )
+    it = iter(dl)
+    next(it)
+    time.sleep(0.3)  # let the producer fill the queue and block in put()
+    it.close()  # generator finally: stop + drain
+    deadline = time.time() + 5.0
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline
+
+
+def test_loader_shards_smaller_than_process_count():
+    """n < process_count: the cyclic pad must still hand every process the
+    same number of valid indices (unequal shards desync SPMD collectives)."""
+    ds = _ArrayDataset(3)
+    lens = set()
+    for rank in range(8):
+        dl = DataLoader(
+            ds, batch_size=1, collate_fn=np.stack, shuffle=True,
+            drop_last=False, process_index=rank, process_count=8, seed=0,
+        )
+        idx = dl._epoch_indices()
+        assert (idx >= 0).all() and (idx < 3).all()
+        lens.add(len(idx))
+    assert lens == {1}
+
+
 def test_mosaic_mask_parity_with_reference(coco_root):
     """Mosaic crowd-mask parity (reference coco.py:300-370): the reference
     builds the mosaic mask by resizing the pre-baked crowd mask with

@@ -33,6 +33,19 @@ def synth_scene(seed, k=4, h=32, w=32, e=1, n_persons=3, sigma=1.5):
     return kpts, tags
 
 
+def test_joints_order_for_is_permutation():
+    """The grouping order must be a permutation of range(k) for ANY skeleton
+    size (a plain JOINTS_ORDER[:k] prefix is not one for k=8..12: it holds
+    out-of-range indices that clamp-gather joint k-1 twice and drop writes),
+    and must equal the reference's COCO order at k=17."""
+    for k in range(1, 21):
+        order = grouping.joints_order_for(k)
+        assert sorted(order) == list(range(k)), k
+    assert grouping.joints_order_for(17) == grouping.JOINTS_ORDER
+    # <=7 is the prefix regime the toy oracle tests pin
+    assert grouping.joints_order_for(4) == grouping.JOINTS_ORDER[:4]
+
+
 def test_nms_matches_oracle():
     kpts, _ = synth_scene(0)
     ours = np.asarray(grouping.nms(jnp.asarray(kpts)))
