@@ -25,20 +25,15 @@ import numpy as np
 
 
 def main() -> None:
-    args = {
-        "concurrency": 16, "requests": 8, "input_size": 512,
-        "max_batch": 16, "max_wait_ms": 5.0, "tiny": False,
-    }
-    for tok in sys.argv[1:]:
-        if tok == "--tiny":
-            args["tiny"] = True
-        elif tok.startswith("--") and "=" in tok:
-            k, v = tok[2:].split("=", 1)
-            if k in args:
-                if isinstance(args[k], bool):  # bool("false") is True
-                    args[k] = v.lower() in ("1", "true", "yes")
-                else:
-                    args[k] = type(args[k])(v)
+    from human_pose_tpu.utils.argv import parse_flags
+
+    args, _ = parse_flags(
+        sys.argv[1:],
+        {
+            "concurrency": 16, "requests": 8, "input_size": 512,
+            "max_batch": 16, "max_wait_ms": 5.0, "tiny": False,
+        },
+    )
 
     from human_pose_tpu.inference import InferenceKeypointsModel
     from human_pose_tpu.inference.serving import (

@@ -19,23 +19,20 @@ from ..utils.export import export_stablehlo, export_weights_npz
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
-    out, input_size, task = "exports", None, None
-    passthrough = []
-    for tok in argv:
-        if tok.startswith("--config="):
-            cfg_path = tok.split("=", 1)[1]
-        elif tok.startswith("--out="):
-            out = tok.split("=", 1)[1]
-        elif tok.startswith("--input_size="):
-            input_size = int(tok.split("=", 1)[1])
-        elif tok.startswith("--task="):
-            task = tok.split("=", 1)[1]
-        else:
-            passthrough.append(tok)
+    from ..utils.argv import parse_flags
 
-    if task is None:  # infer from the config path, default keypoints
+    flags, passthrough = parse_flags(
+        sys.argv[1:],
+        {
+            "config": "experiments/keypoints/higher_hrnet_32.yaml",
+            "out": "exports", "input_size": 0, "task": "",
+        },
+        allow_passthrough=True,  # --a.b.c=v config overrides
+    )
+    cfg_path, out, task = flags["config"], flags["out"], flags["task"]
+    input_size = flags["input_size"] or None
+
+    if not task:  # infer from the config path, default keypoints
         task = "classification" if "classification" in cfg_path else "keypoints"
     if task == "classification":
         from ..configs.classification import ClassificationConfig as ConfigClass

@@ -7,6 +7,7 @@ batched jitted calls (inference/serving.py).
 
     python -m human_pose_tpu.bin.serve --config=experiments/keypoints/higher_hrnet_32.yaml \
         --inference.ckpt_path=... [--port=8000] [--max_batch=16] [--max_wait_ms=5] \
+        [--max_body_mb=64] \
         [--warmup=512x512,480x640]   # compile these raw-image shape buckets before listening
 
     curl -X POST --data-binary @some.jpg localhost:8000/predict
@@ -23,26 +24,21 @@ from ..loggers.pylogger import log
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
-    host, port, max_batch, max_wait_ms = "0.0.0.0", 8000, 16, 5.0
-    warmup = ""
-    passthrough = []
-    for tok in argv:
-        if tok.startswith("--config="):
-            cfg_path = tok.split("=", 1)[1]
-        elif tok.startswith("--host="):
-            host = tok.split("=", 1)[1]
-        elif tok.startswith("--port="):
-            port = int(tok.split("=", 1)[1])
-        elif tok.startswith("--max_batch="):
-            max_batch = int(tok.split("=", 1)[1])
-        elif tok.startswith("--max_wait_ms="):
-            max_wait_ms = float(tok.split("=", 1)[1])
-        elif tok.startswith("--warmup="):
-            warmup = tok.split("=", 1)[1]
-        else:
-            passthrough.append(tok)
+    from ..utils.argv import parse_flags
+
+    flags, passthrough = parse_flags(
+        sys.argv[1:],
+        {
+            "config": "experiments/keypoints/higher_hrnet_32.yaml",
+            "host": "0.0.0.0", "port": 8000, "max_batch": 16,
+            "max_wait_ms": 5.0, "warmup": "", "max_body_mb": 64,
+        },
+        allow_passthrough=True,  # --a.b.c=v config overrides
+    )
+    cfg_path, host, port = flags["config"], flags["host"], flags["port"]
+    max_batch, max_wait_ms, warmup = (
+        flags["max_batch"], flags["max_wait_ms"], flags["warmup"],
+    )
 
     cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, passthrough)
     cfg_dict.setdefault("setup", {})["is_train"] = False
@@ -60,7 +56,10 @@ def main() -> None:
         h, w = (int(v) for v in spec.split("x"))
         predictor.warmup(np.zeros((h, w, 3), np.uint8), max_batch)
         log.info(f"warmed up {spec}")
-    server = make_server(batcher, host=host, port=port)
+    server = make_server(
+        batcher, host=host, port=port,
+        max_body_bytes=flags["max_body_mb"] * 1024 * 1024,
+    )
 
     # graceful preemption: SIGTERM (the TPU-VM eviction signal) stops
     # accepting connections and fails queued requests fast instead of letting

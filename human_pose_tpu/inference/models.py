@@ -159,6 +159,9 @@ class InferenceKeypointsModel:
         maps come from scale 1 (the HigherHRNet multi-scale protocol).
         ``scales`` defaults to the constructor's (``inference.scales``)."""
         scales = tuple(scales) if scales is not None else self.scales
+        if 1.0 not in scales:
+            # tags (and the decode geometry) always come from the scale-1 pass
+            raise ValueError(f"scales must include 1.0, got {scales}")
         dtype = getattr(self.model, "dtype", jnp.float32)
         min_scale = min(scales)
 

@@ -146,6 +146,23 @@ class _Pending:
     result: Any = None
     error: BaseException | None = None
     t_enqueue: float = field(default_factory=time.perf_counter)
+    # set when the submitter gave up (timeout): the worker drops the entry at
+    # batch-forming time instead of burning a device slot on a request whose
+    # client already got its 503
+    cancelled: threading.Event = field(default_factory=threading.Event)
+    _settle_lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def settle(self, result=None, error=None) -> bool:
+        """First writer wins: worker success, worker error, and close()/late
+        shutdown failure all funnel through here, so a completed result can
+        never be overwritten by a racing 'batcher is closed' error."""
+        with self._settle_lock:
+            if self.done.is_set():
+                return False
+            self.result = result
+            self.error = error
+            self.done.set()
+            return True
 
 
 class DynamicBatcher:
@@ -169,7 +186,7 @@ class DynamicBatcher:
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.counters = {
-            "requests": 0, "batches": 0, "errors": 0,
+            "requests": 0, "batches": 0, "errors": 0, "shed": 0,
             "latency_ms_sum": 0.0, "latency_ms_max": 0.0,
         }
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -186,10 +203,11 @@ class DynamicBatcher:
         # re-check AFTER the put: close() may have drained the queue between
         # the check above and the put, in which case nothing will ever read
         # this entry — fail it now instead of sleeping out the full timeout
-        if self._stop.is_set() and not p.done.is_set():
-            p.error = RuntimeError("batcher is closed")
-            p.done.set()
+        # (settle() is a no-op if the worker finished it first)
+        if self._stop.is_set():
+            p.settle(error=RuntimeError("batcher is closed"))
         if not p.done.wait(timeout):
+            p.cancelled.set()  # worker drops it instead of computing for nobody
             raise TimeoutError("inference request timed out")
         if p.error is not None:
             raise p.error
@@ -212,8 +230,15 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
             by_key: dict[tuple, list[_Pending]] = {}
+            n_shed = 0
             for p in group:
+                if p.cancelled.is_set():  # submitter timed out: shed the load
+                    n_shed += 1
+                    continue
                 by_key.setdefault(p.req.key, []).append(p)
+            if n_shed:
+                with self._lock:
+                    self.counters["shed"] += n_shed
             for key, ps in by_key.items():
                 try:
                     results = self.predictor.predict([p.req for p in ps])
@@ -230,14 +255,12 @@ class DynamicBatcher:
                             self.counters["latency_ms_max"] = max(
                                 self.counters["latency_ms_max"], lat
                             )
-                        p.result = r
-                        p.done.set()
+                        p.settle(result=r)
                 except BaseException as e:  # propagate to the request thread
                     with self._lock:
                         self.counters["errors"] += len(ps)
                     for p in ps:
-                        p.error = e
-                        p.done.set()
+                        p.settle(error=e)
 
     def stats(self) -> dict:
         with self._lock:
@@ -256,8 +279,7 @@ class DynamicBatcher:
                 p = self._q.get_nowait()
             except queue.Empty:
                 break
-            p.error = RuntimeError("batcher closed while request was queued")
-            p.done.set()
+            p.settle(error=RuntimeError("batcher closed while request was queued"))
 
 
 def decode_request_body(body: bytes) -> np.ndarray:
@@ -280,8 +302,17 @@ def decode_request_body(body: bytes) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def make_server(batcher: DynamicBatcher, host: str = "0.0.0.0", port: int = 8000):
-    """Build (not run) the HTTP server; ``server.serve_forever()`` to run."""
+def make_server(
+    batcher: DynamicBatcher,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    max_body_bytes: int = 64 * 1024 * 1024,
+):
+    """Build (not run) the HTTP server; ``server.serve_forever()`` to run.
+
+    ``max_body_bytes`` caps POST bodies (default 64 MiB ≈ a 4600x4600 uint8
+    .npy frame): the body is read fully into memory, so an unchecked
+    Content-Length would let one request OOM the process that owns the chip."""
     import jax
 
     platform = jax.devices()[0].platform
@@ -312,6 +343,16 @@ def make_server(batcher: DynamicBatcher, host: str = "0.0.0.0", port: int = 8000
             # a caller error
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, {"error": "invalid Content-Length"})
+                return
+            if n <= 0:  # negative would make read(-1) block until EOF
+                self._send(400, {"error": "missing or invalid Content-Length"})
+                return
+            if n > max_body_bytes:
+                self._send(413, {"error": f"body exceeds {max_body_bytes} bytes"})
+                return
+            try:
                 image = decode_request_body(self.rfile.read(n))
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})

@@ -114,3 +114,31 @@ def test_inference_video_cli(env, monkeypatch):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
     cap.release()
+
+
+def test_parse_flags_shared_parser():
+    """The flat-flag parser shared by serve/bench_serve/export: typed
+    coercion, bool forms, passthrough of config overrides, and a hard error
+    on unknown flags (a typo must not silently run with defaults)."""
+    import pytest
+
+    from human_pose_tpu.utils.argv import parse_flags
+
+    defaults = {"port": 8000, "wait": 5.0, "tiny": False, "name": "x"}
+    flags, rest = parse_flags(
+        ["--port=9", "--tiny", "--wait=0.5", "--inference.ckpt_path=a.pt"],
+        defaults, allow_passthrough=True,
+    )
+    assert flags == {"port": 9, "wait": 0.5, "tiny": True, "name": "x"}
+    assert rest == ["--inference.ckpt_path=a.pt"]
+
+    assert parse_flags(["--tiny=false"], defaults, True)[0]["tiny"] is False
+
+    with pytest.raises(SystemExit, match="unknown flag"):
+        parse_flags(["--max_bath=8"], defaults)  # typo -> error, not default
+    with pytest.raises(SystemExit, match="boolean"):
+        parse_flags(["--tiny=maybe"], defaults)
+    with pytest.raises(SystemExit, match="requires =value"):
+        parse_flags(["--port"], defaults)
+    with pytest.raises(SystemExit, match="--port"):
+        parse_flags(["--port=abc"], defaults)

@@ -50,6 +50,10 @@ def test_keypoints_inference_flip_and_multiscale(kpts_model):
     result = im(raw, scales=(0.5, 1.0))
     # flip TTA stacks a second tag embedding
     assert result.kpts_tags.shape[-1] == 2
+    # tags/decode geometry come from the scale-1 pass: its absence is an
+    # explicit error, not a None-crash deep inside the jitted decode
+    with pytest.raises(ValueError, match="must include 1.0"):
+        im(raw, scales=(0.5, 2.0))
 
 
 def test_multiscale_config_plumbing(kpts_model):

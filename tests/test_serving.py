@@ -212,3 +212,85 @@ def test_batcher_close_fails_fast(predictor):
     batcher.close()
     with pytest.raises(RuntimeError, match="closed"):
         batcher.submit(_image(5))
+
+
+def test_pending_settle_first_writer_wins():
+    """A completed result can never be masked by a racing shutdown error
+    (close()/late submit re-check go through the same settle gate)."""
+    from human_pose_tpu.inference.serving import _Pending
+
+    p = _Pending(req=None)
+    assert p.settle(result={"people": []})
+    assert not p.settle(error=RuntimeError("batcher is closed"))
+    assert p.error is None and p.result == {"people": []}
+
+    q = _Pending(req=None)
+    assert q.settle(error=RuntimeError("boom"))
+    assert not q.settle(result={"people": []})
+    assert q.result is None and str(q.error) == "boom"
+
+
+def test_timed_out_request_is_shed_not_computed(predictor):
+    """A submit that times out must not still burn a device batch when the
+    worker gets to it — overload has to actually shed load."""
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1.0)
+    gate = threading.Event()
+    orig = batcher.predictor.predict
+    computed = []
+
+    def slow_predict(reqs):
+        gate.wait(30)
+        computed.append(len(reqs))
+        return orig(reqs)
+
+    try:
+        batcher.predictor.predict = slow_predict
+        # first request occupies the worker inside slow_predict
+        t1 = threading.Thread(target=lambda: batcher.submit(_image(6)))
+        t1.start()
+        import time as _t
+
+        _t.sleep(0.3)  # worker is now parked in slow_predict
+        # second request times out while still queued -> must be shed
+        with pytest.raises(TimeoutError):
+            batcher.submit(_image(7), timeout=0.2)
+        gate.set()
+        t1.join(timeout=120)
+        # give the worker one drain cycle to observe the cancelled entry
+        deadline = _t.time() + 5
+        while batcher.stats()["shed"] < 1 and _t.time() < deadline:
+            _t.sleep(0.05)
+    finally:
+        batcher.predictor.predict = orig
+        batcher.close()
+    assert batcher.stats()["shed"] == 1
+    assert sum(computed) == 1  # only the live request hit the device
+
+
+def test_http_body_size_limits(predictor):
+    """Oversized bodies 413, bad/absent Content-Length 400 — read() must
+    never buffer an attacker-chosen number of bytes."""
+    batcher = DynamicBatcher(predictor, max_batch=2, max_wait_ms=1.0)
+    server = make_server(batcher, host="127.0.0.1", port=0, max_body_bytes=1024)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        big = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"x" * 2048, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(big)
+        assert exc.value.code == 413
+
+        # hand-rolled request: no Content-Length at all
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+    finally:
+        server.shutdown()
+        batcher.close()
