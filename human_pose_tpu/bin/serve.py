@@ -1,4 +1,4 @@
-"""Keypoints inference HTTP server with dynamic batching.
+"""Inference HTTP server with dynamic batching (keypoints or classification).
 
 The reference has no serving path (offline CLIs only,
 /root/reference/src/keypoints/bin/inference.py); this stands up one process
@@ -6,20 +6,27 @@ owning the TPU chip(s), coalescing concurrent POST /predict requests into
 batched jitted calls (inference/serving.py).
 
     python -m human_pose_tpu.bin.serve --config=experiments/keypoints/higher_hrnet_32.yaml \
-        --inference.ckpt_path=... [--port=8000] [--max_batch=16] [--max_wait_ms=5] \
-        [--max_body_mb=64] \
+        --inference.ckpt_path=... [--task=keypoints|classification] \
+        [--port=8000] [--max_batch=16] [--max_wait_ms=5] [--max_body_mb=64] \
         [--warmup=512x512,480x640]   # compile these raw-image shape buckets before listening
 
     curl -X POST --data-binary @some.jpg localhost:8000/predict
     curl localhost:8000/healthz ; curl localhost:8000/stats
+
+``--task`` defaults from the config path (like bin/export.py): keypoints
+serves multi-person pose payloads, classification serves top-5 label/prob.
 """
 
 from __future__ import annotations
 
 import sys
 
-from ..configs.keypoints import KeypointsConfig
-from ..inference.serving import BatchedKeypointsPredictor, DynamicBatcher, make_server
+from ..inference.serving import (
+    BatchedClassificationPredictor,
+    BatchedKeypointsPredictor,
+    DynamicBatcher,
+    make_server,
+)
 from ..loggers.pylogger import log
 
 
@@ -30,7 +37,7 @@ def main() -> None:
         sys.argv[1:],
         {
             "config": "experiments/keypoints/higher_hrnet_32.yaml",
-            "host": "0.0.0.0", "port": 8000, "max_batch": 16,
+            "task": "", "host": "0.0.0.0", "port": 8000, "max_batch": 16,
             "max_wait_ms": 5.0, "warmup": "", "max_body_mb": 64,
         },
         allow_passthrough=True,  # --a.b.c=v config overrides
@@ -39,12 +46,25 @@ def main() -> None:
     max_batch, max_wait_ms, warmup = (
         flags["max_batch"], flags["max_wait_ms"], flags["warmup"],
     )
+    task = flags["task"] or (
+        "classification" if "classification" in cfg_path else "keypoints"
+    )
+    if task == "classification":
+        from ..configs.classification import ClassificationConfig as ConfigClass
+    elif task == "keypoints":
+        from ..configs.keypoints import KeypointsConfig as ConfigClass
+    else:
+        raise SystemExit(f"--task must be keypoints or classification, got {task!r}")
 
-    cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, passthrough)
+    cfg_dict = ConfigClass.from_yaml_to_dict(cfg_path, passthrough)
     cfg_dict.setdefault("setup", {})["is_train"] = False
-    cfg = KeypointsConfig.from_dict(cfg_dict)
+    cfg = ConfigClass.from_dict(cfg_dict)
     model = cfg.create_inference_model()
-    predictor = BatchedKeypointsPredictor(model)
+    predictor = (
+        BatchedClassificationPredictor(model)
+        if task == "classification"
+        else BatchedKeypointsPredictor(model)
+    )
     batcher = DynamicBatcher(
         predictor, max_batch=max_batch, max_wait_ms=max_wait_ms
     )
@@ -74,7 +94,7 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _terminate)
 
     log.info(
-        f"serving keypoints on {host}:{port} "
+        f"serving {task} on {host}:{port} "
         f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})"
     )
     try:

@@ -4,7 +4,12 @@ from .models import (
     load_variables_from_ckpt,
 )
 from .results import ClassificationResult, InferenceKeypointsResult, KeypointsResult
-from .serving import BatchedKeypointsPredictor, DynamicBatcher, make_server
+from .serving import (
+    BatchedClassificationPredictor,
+    BatchedKeypointsPredictor,
+    DynamicBatcher,
+    make_server,
+)
 from .visualization import (
     plot_connections,
     plot_grouped_ae_tags,
@@ -19,6 +24,7 @@ __all__ = [
     "ClassificationResult",
     "InferenceKeypointsResult",
     "KeypointsResult",
+    "BatchedClassificationPredictor",
     "BatchedKeypointsPredictor",
     "DynamicBatcher",
     "make_server",

@@ -140,6 +140,68 @@ class BatchedKeypointsPredictor:
 
 
 @dataclass
+class PreparedClassRequest:
+    """Host-preprocessed classification input (fixed-size center crop, so all
+    requests share one shape bucket per ``input_size``)."""
+
+    x: np.ndarray  # [1, S, S, 3] normalized
+    key: tuple
+
+
+class BatchedClassificationPredictor:
+    """Batched classification predict wrapping ``InferenceClassificationModel``
+    (inference/models.py) — the classification counterpart of
+    ``BatchedKeypointsPredictor`` for ``DynamicBatcher``/``make_server``."""
+
+    def __init__(self, infer_model, top_k: int = 5):
+        for attr in ("transform", "_apply", "labels"):
+            if not hasattr(infer_model, attr):
+                raise TypeError(
+                    f"{type(infer_model).__name__} lacks {attr}; expected an "
+                    "InferenceClassificationModel"
+                )
+        self.m = infer_model
+        self.top_k = top_k
+
+    def prepare(self, image: np.ndarray) -> PreparedClassRequest:
+        x = np.asarray(self.m.transform.inference(image))[None]
+        return PreparedClassRequest(x, x.shape[1:3])
+
+    def warmup(self, image: np.ndarray, max_batch: int) -> None:
+        req = self.prepare(image)
+        n = 1
+        while n <= 1 << (max_batch - 1).bit_length():
+            self.predict([req] * n)
+            n *= 2
+
+    def predict(self, reqs: list[PreparedClassRequest]) -> list[dict]:
+        assert len({r.key for r in reqs}) == 1, "mixed buckets in one batch"
+        dtype = getattr(self.m.model, "dtype", jnp.float32)
+        batch = np.concatenate([r.x for r in reqs], axis=0)
+        n = batch.shape[0]
+        n_pad = 1 << (n - 1).bit_length()  # power-of-two batch buckets
+        if n_pad > n:
+            batch = np.concatenate(
+                [batch, np.zeros((n_pad - n, *batch.shape[1:]), batch.dtype)]
+            )
+        probs = np.asarray(self.m._apply(self.m.variables, jnp.asarray(batch, dtype)))
+        out = []
+        for i in range(n):
+            p = probs[i].astype(np.float64)
+            top = np.argsort(-p, kind="stable")[: self.top_k]
+            out.append(
+                {
+                    "top": [
+                        {"label": self.m.labels[j], "prob": round(float(p[j]), 6)}
+                        for j in top
+                    ],
+                    "pred": self.m.labels[int(top[0])],
+                }
+            )
+        return out
+
+
+@dataclass
 class _Pending:
     req: PreparedRequest
     done: threading.Event = field(default_factory=threading.Event)

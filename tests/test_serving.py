@@ -214,6 +214,76 @@ def test_batcher_close_fails_fast(predictor):
         batcher.submit(_image(5))
 
 
+@pytest.fixture(scope="module")
+def cls_predictor():
+    from human_pose_tpu.inference import InferenceClassificationModel
+    from human_pose_tpu.inference.serving import BatchedClassificationPredictor
+    from human_pose_tpu.models import ClassificationHRNet
+
+    model = ClassificationHRNet(C=8, num_classes=10, **TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    im = InferenceClassificationModel(
+        model, dict(variables), labels=[f"c{i}" for i in range(10)], input_size=64
+    )
+    return BatchedClassificationPredictor(im, top_k=3)
+
+
+def test_batched_classification_matches_single_path(cls_predictor):
+    """The classification serving payload's top-k agrees with the single-image
+    InferenceClassificationModel pipeline on the same input."""
+    raw = _image(11)
+    payload = cls_predictor.predict([cls_predictor.prepare(raw)])[0]
+    ref = cls_predictor.m(raw)
+
+    assert len(payload["top"]) == 3
+    order = np.argsort(-ref.probs, kind="stable")[:3]
+    assert [t["label"] for t in payload["top"]] == [f"c{i}" for i in order]
+    np.testing.assert_allclose(
+        [t["prob"] for t in payload["top"]], ref.probs[order], atol=1e-5
+    )
+    assert payload["pred"] == f"c{order[0]}"
+
+
+def test_classification_batching_pads_po2(cls_predictor):
+    """3 coalesced requests run as one padded batch (pad rows sliced off) and
+    each result matches its own single-request payload."""
+    raws = [_image(20 + i) for i in range(3)]
+    reqs = [cls_predictor.prepare(r) for r in raws]
+    batched = cls_predictor.predict(reqs)
+    singles = [cls_predictor.predict([q])[0] for q in reqs]
+    for b, s in zip(batched, singles):
+        assert b["pred"] == s["pred"]
+        np.testing.assert_allclose(
+            [t["prob"] for t in b["top"]],
+            [t["prob"] for t in s["top"]], atol=1e-5,
+        )
+
+
+def test_http_classification_end_to_end(cls_predictor):
+    """serve --task=classification: the HTTP layer is task-agnostic; the
+    classification batcher returns top-k payloads over POST /predict."""
+    batcher = DynamicBatcher(cls_predictor, max_batch=2, max_wait_ms=1.0)
+    server = make_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        np.save(buf, _image(12))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert r.status == 200
+        assert len(out["top"]) == 3 and "pred" in out
+        assert "latency_ms" in out and out["batch_size"] >= 1
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 def test_pending_settle_first_writer_wins():
     """A completed result can never be masked by a racing shutdown error
     (close()/late submit re-check go through the same settle gate)."""
