@@ -9,7 +9,14 @@ Usage:
     python -m human_pose_tpu.bin.eval_keypoints \
         --config=experiments/keypoints/higher_hrnet_32.yaml \
         --inference.ckpt_path=... [--inference.use_flip=True] \
-        [--inference.scales=[0.5,1,2]] [--limit=N]
+        [--inference.scales=[0.5,1,2]] [--limit=N] \
+        [--batch_size=N] [--sharded=true]
+
+``--batch_size`` > 1 switches to the batched evaluator
+(inference/batched_eval.py): shape-bucketed whole-batch forward + decode with
+only the decoded joints fetched to host — same detections, much higher
+throughput than the reference's strictly per-image loop. ``--sharded=true``
+additionally shards eval batches over a data mesh of all local devices.
 """
 
 from __future__ import annotations
@@ -59,11 +66,17 @@ def main() -> None:
     argv = sys.argv[1:]
     cfg_path = "experiments/keypoints/higher_hrnet_32.yaml"
     limit = -1
+    batch_size = 1
+    sharded = False
     for tok in argv:
         if tok.startswith("--config="):
             cfg_path = tok.split("=", 1)[1]
         if tok.startswith("--limit="):
             limit = int(tok.split("=", 1)[1])
+        if tok.startswith("--batch_size="):
+            batch_size = int(tok.split("=", 1)[1])
+        if tok.startswith("--sharded="):
+            sharded = tok.split("=", 1)[1].lower() in ("1", "true", "yes")
     cfg_dict = KeypointsConfig.from_yaml_to_dict(cfg_path, argv)
     cfg_dict.setdefault("setup", {})["is_train"] = False
     cfg = KeypointsConfig.from_dict(cfg_dict)
@@ -75,7 +88,19 @@ def main() -> None:
     out_dir = Path("evaluation_results") / time.strftime("%Y-%m-%d_%H-%M-%S")
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    detections = evaluate_dataset(model, ds, limit)
+    if batch_size > 1:
+        from ..inference.batched_eval import evaluate_dataset_batched
+
+        mesh = None
+        if sharded:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        detections = evaluate_dataset_batched(
+            model, ds, batch_size=batch_size, limit=limit, mesh=mesh
+        )
+    else:
+        detections = evaluate_dataset(model, ds, limit)
     save_json(detections, out_dir / "val2017_results.json")
     save_yaml(cfg.to_dict(), out_dir / "config.yaml")
 

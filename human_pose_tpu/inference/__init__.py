@@ -1,3 +1,4 @@
+from .batched_eval import BatchedKeypointsEvaluator, evaluate_dataset_batched
 from .models import (
     InferenceClassificationModel,
     InferenceKeypointsModel,
@@ -18,6 +19,8 @@ from .visualization import (
 )
 
 __all__ = [
+    "BatchedKeypointsEvaluator",
+    "evaluate_dataset_batched",
     "InferenceClassificationModel",
     "InferenceKeypointsModel",
     "load_variables_from_ckpt",

@@ -69,6 +69,24 @@ def test_eval_keypoints_cli(env, monkeypatch):
     assert "Average Precision" in (out / "coco_output.txt").read_text()
 
 
+def test_eval_keypoints_cli_batched(env, monkeypatch):
+    """--batch_size switches the CLI to the shape-bucketed batched evaluator
+    (inference/batched_eval.py); outputs keep the reference layout."""
+    tmp, root, cfg = env
+    monkeypatch.chdir(tmp)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval", f"--config={cfg}", "--limit=2", "--batch_size=2"] + TINY_NET,
+    )
+    from human_pose_tpu.bin.eval_keypoints import main
+
+    main()
+    out = max((tmp / "evaluation_results").iterdir())  # newest timestamp dir
+    dets = json.loads((out / "val2017_results.json").read_text())
+    assert isinstance(dets, list) and dets
+    assert "Average Precision" in (out / "coco_output.txt").read_text()
+
+
 def test_inference_keypoints_cli_val_and_dir(env, monkeypatch):
     tmp, root, cfg = env
     monkeypatch.chdir(tmp)
@@ -114,6 +132,53 @@ def test_inference_video_cli(env, monkeypatch):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
     cap.release()
+
+
+def test_eval_classification_cli_serial_and_batched(tmp_path, monkeypatch, capsys):
+    """eval_classification end-to-end on a tiny ImageFolder fixture: the
+    batched path (--batch_size) must reproduce the serial errors exactly
+    (classification inputs are shape-static, so batching is exact)."""
+    from tests.test_data import make_imagenet_fixture
+
+    root = tmp_path / "imagenet"
+    make_imagenet_fixture(root, n_classes=3, n_per=2, size=80)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+setup:
+  experiment_name: cls
+  architecture: ClassificationHRNet
+trainer:
+  accelerator: cpu
+  use_DDP: false
+dataloader:
+  batch_size: 2
+  num_workers: 1
+  train_ds: {{root: {root}, split: val}}
+  val_ds: {{root: {root}, split: val}}
+transform:
+  out_size: 64
+net:
+  params: {{C: 8, num_classes: 3, num_blocks_per_stage: [1,1,1,1], num_units: 1}}
+inference:
+  input_size: 64
+  ckpt_path: null
+"""
+    )
+    from human_pose_tpu.bin.eval_classification import main
+
+    def run(extra):
+        monkeypatch.setattr(sys, "argv", ["eval", f"--config={cfg}"] + extra)
+        main()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return eval(out)  # printed stats dict
+
+    serial = run([])
+    batched = run(["--batch_size=4"])  # 6 images -> one full + one padded tail
+    assert serial["n"] == batched["n"] == 6
+    assert serial["top1_error"] == batched["top1_error"]
+    assert serial["top5_error"] == batched["top5_error"]
+    assert 0.0 <= batched["top1_error"] <= 1.0
 
 
 def test_parse_flags_shared_parser():

@@ -26,23 +26,28 @@ from human_pose_tpu.data import (
 from human_pose_tpu.data.rle import decode_rle_counts_string, rle_to_mask
 
 
-def make_coco_fixture(root, n_images=3, size=96):
+def make_coco_fixture(root, n_images=3, size=96, sizes=None):
+    """``sizes``: optional per-image (h, w) tuples or ints (square) —
+    mixed-shape sets exercise the batched evaluator's shape bucketing."""
     rng = np.random.RandomState(0)
     (root / "images" / "val2017").mkdir(parents=True)
     (root / "annotations").mkdir(parents=True)
     images, annotations = [], []
     ann_id = 1
     for i in range(n_images):
+        sz = sizes[i % len(sizes)] if sizes else size
+        img_h, img_w = (sz, sz) if isinstance(sz, int) else sz
         name = f"{i:012d}.jpg"
-        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        img = (rng.rand(img_h, img_w, 3) * 255).astype(np.uint8)
         cv2.imwrite(str(root / "images" / "val2017" / name), img)
-        images.append({"id": i, "file_name": name, "height": size, "width": size})
+        images.append({"id": i, "file_name": name, "height": img_h, "width": img_w})
+        lim = min(img_h, img_w)
         for _ in range(rng.randint(1, 3)):
             kpts = []
             for k in range(17):
-                kpts += [int(rng.randint(5, size - 5)), int(rng.randint(5, size - 5)), 2]
-            x0, y0 = (int(v) for v in rng.randint(0, size // 2, 2))
-            w = h = size // 3
+                kpts += [int(rng.randint(5, lim - 5)), int(rng.randint(5, lim - 5)), 2]
+            x0, y0 = (int(v) for v in rng.randint(0, lim // 2, 2))
+            w = h = lim // 3
             annotations.append(
                 {
                     "id": ann_id,
@@ -63,6 +68,18 @@ def make_coco_fixture(root, n_images=3, size=96):
     with open(root / "annotations" / "person_keypoints_val2017.json", "w") as f:
         json.dump(gt, f)
     return gt
+
+
+def make_imagenet_fixture(root, n_classes=3, n_per=2, size=80, split="val"):
+    """Tiny ImageFolder-layout fixture: root/<split>/<wnid>/<img>.JPEG."""
+    rng = np.random.RandomState(7)
+    for c in range(n_classes):
+        d = root / split / f"n{c:08d}"
+        d.mkdir(parents=True)
+        for j in range(n_per):
+            img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"img_{j}.JPEG"), img)
+    return root
 
 
 @pytest.fixture(scope="module")
