@@ -4,9 +4,10 @@ The reference's src/classification/bin/eval.py is an empty stub; this one
 actually evaluates top-1/top-5 error on the val split.
 
 ``--batch_size=N`` batches the center-crop inference into one jitted call per
-N images (classification inputs are shape-static, so batching is exact and
-compiles once; the tail batch is padded by repetition and the padded rows
-dropped). ``--limit=N`` truncates the split.
+N images (classification inputs are shape-static, so the batched math is the
+serial math and it compiles once; fp summation order may differ in the last
+ulp across batch shapes). The tail batch is padded by repetition and the
+padded rows dropped. ``--limit=N`` truncates the split.
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ from tqdm.auto import tqdm
 
 from ..configs.keypoints import KeypointsConfig
 from ..data.coco import CocoKeypointsDataset
+from ..inference.batched_eval import image_id_from_path
 from ..loggers.pylogger import log
 from ..metrics.cocoeval import COCOKeypointsEval
 from ..utils.files import load_json, save_json, save_yaml
@@ -52,10 +53,7 @@ def evaluate_dataset(model, ds: CocoKeypointsDataset, limit: int = -1) -> list[d
         if oks >= 0:
             oks_values.append(oks)
             pbar.set_postfix({"OKS": f"{oks:.2f}", "mean": f"{np.mean(oks_values):.3f}"})
-        # COCO filenames are zero-padded image ids; tolerate non-numeric stems
-        stem = Path(ds.images_filepaths[idx]).stem
-        digits = "".join(c for c in stem if c.isdigit())
-        image_id = int(digits) if digits else idx
+        image_id = image_id_from_path(ds.images_filepaths[idx], fallback=idx)
         results.extend(result.to_coco_detections(image_id))
     if oks_values:
         log.info(f"mean image OKS over {len(oks_values)} images: {np.mean(oks_values):.4f}")
@@ -88,6 +86,11 @@ def main() -> None:
     out_dir = Path("evaluation_results") / time.strftime("%Y-%m-%d_%H-%M-%S")
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if sharded and batch_size <= 1:
+        raise SystemExit(
+            "--sharded=true requires --batch_size>1 (a multiple of the device "
+            "count): distributed eval shards whole batches over the mesh"
+        )
     if batch_size > 1:
         from ..inference.batched_eval import evaluate_dataset_batched
 

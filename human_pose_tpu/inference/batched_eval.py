@@ -68,6 +68,40 @@ class _InFlight:
     metas: list  # n_real entries
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("hw", "n_scales", "max_num_people", "det_thr", "tag_thr"),
+)
+def _decode_dynamic(
+    avg_sum, tags_list, valid_hw, hw, n_scales, max_num_people, det_thr, tag_thr
+):
+    """Decode with a per-image dynamic pad mask (vs the single-image path's
+    static ``valid_hw`` — dynamic avoids one recompile per exact 64-aligned
+    size inside a coarser ``pad_multiple`` bucket). Module-level so the jit
+    cache never pins an evaluator instance (and its accumulated detections)
+    via a static ``self``."""
+    avg = avg_sum / n_scales
+    vh = valid_hw[:, 0][:, None, None, None]
+    vw = valid_hw[:, 1][:, None, None, None]
+    yy = jnp.arange(hw[0])[None, :, None, None]
+    xx = jnp.arange(hw[1])[None, None, :, None]
+    avg = jnp.where((yy < vh) & (xx < vw), avg, -1e4)
+    return decode_batch(
+        [avg], tags_list, input_hw=hw,
+        max_num_people=max_num_people, det_thr=det_thr, tag_thr=tag_thr,
+    )
+
+
+def image_id_from_path(path, fallback: int) -> int:
+    """COCO filenames are zero-padded image ids; tolerate non-numeric stems
+    (shared by the serial and batched evaluators so the id rule can never
+    diverge between them)."""
+    from pathlib import Path
+
+    digits = "".join(c for c in Path(path).stem if c.isdigit())
+    return int(digits) if digits else fallback
+
+
 class BatchedKeypointsEvaluator:
     """Batched val-split evaluation driver around ``InferenceKeypointsModel``.
 
@@ -90,6 +124,10 @@ class BatchedKeypointsEvaluator:
         max_pending: int | None = None,
         compute_oks: bool = True,
     ):
+        if 1.0 not in model.scales:
+            # the same contract the serial path enforces per call
+            # (models.py: tags/decode geometry come from the scale-1 pass)
+            raise ValueError(f"scales must include 1.0, got {model.scales}")
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh
@@ -100,6 +138,7 @@ class BatchedKeypointsEvaluator:
         self._detections: list = []
         self._oks_values: list = []
         self._n_images = 0
+        self._variables = model.variables
         if self.max_pending is None:
             self.max_pending = 4 * self.batch_size
         if self.mesh is not None:
@@ -111,8 +150,9 @@ class BatchedKeypointsEvaluator:
                 )
             from ..parallel.mesh import replicate
 
-            # params replicated once; batches are placed per dispatch
-            self.model.variables = replicate(self.mesh, self.model.variables)
+            # params replicated once, kept evaluator-local so the injected
+            # model is not committed to this mesh's device set
+            self._variables = replicate(self.mesh, model.variables)
 
     # -- bucket key ---------------------------------------------------------
 
@@ -136,24 +176,6 @@ class BatchedKeypointsEvaluator:
 
     # -- device work --------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "hw", "n_scales"))
-    def _decode_dynamic(self, avg_sum, tags_list, valid_hw, hw, n_scales):
-        """Decode with a per-image dynamic pad mask (vs the single-image
-        path's static ``valid_hw`` — dynamic avoids one recompile per exact
-        64-aligned size inside a coarser ``pad_multiple`` bucket)."""
-        m = self.model
-        avg = avg_sum / n_scales
-        vh = valid_hw[:, 0][:, None, None, None]
-        vw = valid_hw[:, 1][:, None, None, None]
-        yy = jnp.arange(hw[0])[None, :, None, None]
-        xx = jnp.arange(hw[1])[None, None, :, None]
-        avg = jnp.where((yy < vh) & (xx < vw), avg, -1e4)
-        return decode_batch(
-            [avg], tags_list, input_hw=hw,
-            max_num_people=m.max_num_people,
-            det_thr=m.det_thr, tag_thr=m.tag_thr,
-        )
-
     def _dispatch(self, key: tuple) -> None:
         metas = self._buckets.pop(key)
         m = self.model
@@ -167,19 +189,20 @@ class BatchedKeypointsEvaluator:
         )
         avg_sum = None
         tags_list = None
-        for s, s_hw in zip(self._scales(), key):
+        for s in self._scales():
             xs = np.stack([p.xs[s] for p in metas] + [metas[-1].xs[s]] * pad)
             xs = jnp.asarray(xs, dtype)
             if self.mesh is not None:
                 from ..parallel.mesh import batch_sharding
 
                 xs = jax.device_put(xs, batch_sharding(self.mesh))
-            avg, tags_s = m._forward_scale(m.variables, xs, hw)
+            avg, tags_s = m._forward_scale(self._variables, xs, hw)
             avg_sum = avg if avg_sum is None else avg_sum + avg
             if s == 1.0:
                 tags_list = tags_s
-        joints, scores, valid = self._decode_dynamic(
-            avg_sum, tags_list, jnp.asarray(valid_hw), hw, float(len(self._scales()))
+        joints, scores, valid = _decode_dynamic(
+            avg_sum, tags_list, jnp.asarray(valid_hw), hw,
+            float(len(self._scales())), m.max_num_people, m.det_thr, m.tag_thr,
         )
         # async dispatch: keep outputs on device so host prep of the next
         # batch overlaps device compute; drain keeps at most 2 in flight
@@ -267,8 +290,6 @@ def evaluate_dataset_batched(
     """Batched counterpart of ``bin.eval_keypoints.evaluate_dataset`` —
     identical detections (and the same per-image OKS logging), batched
     device work."""
-    from pathlib import Path
-
     from tqdm.auto import tqdm
 
     runner = BatchedKeypointsEvaluator(model, batch_size=batch_size, mesh=mesh)
@@ -278,9 +299,7 @@ def evaluate_dataset_batched(
     for idx in it:
         image = ds.load_image(idx)
         annot = ds.load_annot(idx)
-        stem = Path(ds.images_filepaths[idx]).stem
-        digits = "".join(c for c in stem if c.isdigit())
-        image_id = int(digits) if digits else idx
+        image_id = image_id_from_path(ds.images_filepaths[idx], fallback=idx)
         runner.add(image, image_id, annot)
     detections, oks_values = runner.finish()
     dt = time.perf_counter() - t0

@@ -127,6 +127,34 @@ def test_batched_sharded_mesh(kpts_model, mixed_ds):
     assert_detections_match(serial, batched)
 
 
+def test_scales_without_1_rejected(kpts_model):
+    """Same contract as the serial path: the scale-1 pass provides tags and
+    decode geometry — its absence is a clean error at construction."""
+    from human_pose_tpu.inference.batched_eval import BatchedKeypointsEvaluator
+
+    model, variables = kpts_model
+    im = InferenceKeypointsModel(
+        model, variables, input_size=64, scales=(0.5, 2.0)
+    )
+    with pytest.raises(ValueError, match="must include 1.0"):
+        BatchedKeypointsEvaluator(im, batch_size=2)
+
+
+def test_mesh_mode_does_not_mutate_model_variables(kpts_model):
+    """The mesh replication is evaluator-local: the injected model keeps its
+    original variables (a later serial call or a second evaluator on a
+    different mesh must not see mesh-committed arrays)."""
+    from human_pose_tpu.inference.batched_eval import BatchedKeypointsEvaluator
+    from human_pose_tpu.parallel.mesh import make_mesh
+
+    model, variables = kpts_model
+    im = InferenceKeypointsModel(model, variables, input_size=64)
+    before = im.variables
+    ev = BatchedKeypointsEvaluator(im, batch_size=8, mesh=make_mesh(8))
+    assert im.variables is before
+    assert ev._variables is not before
+
+
 def test_batch_size_not_divisible_by_mesh_raises(kpts_model):
     from human_pose_tpu.inference.batched_eval import BatchedKeypointsEvaluator
     from human_pose_tpu.parallel.mesh import make_mesh
