@@ -94,6 +94,12 @@ class TrainerConfig:
     # into this directory (TensorBoard/Perfetto-viewable; utils/profiling.py)
     profile_dir: str | None = None
     profile_steps: int = 5
+    # batches staged onto the device ahead of the running step
+    # (train/prefetch.DevicePrefetcher); 0 disables
+    device_prefetch: int = 1
+    # background-thread checkpoint writes (single-process flax backend only;
+    # multi-host and orbax saves stay synchronous)
+    async_ckpt: bool = True
 
 
 @dataclass
@@ -294,4 +300,6 @@ class BaseConfig:
             ckpt_backend=self.trainer.ckpt_backend,
             profile_dir=self.trainer.profile_dir,
             profile_steps=self.trainer.profile_steps,
+            device_prefetch=self.trainer.device_prefetch,
+            async_ckpt=self.trainer.async_ckpt,
         )

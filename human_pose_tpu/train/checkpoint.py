@@ -63,6 +63,55 @@ def save_checkpoint(
     log.info(f"saved checkpoint to {path} (epoch {epoch})")
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves for the single-process flax backend.
+
+    The expensive parts of ``save_checkpoint`` — the device->host fetch of
+    params/opt-state and the pickle write — run on a background thread while
+    training continues. Correctness relies on JAX arrays being immutable:
+    the TrainState captured at ``submit`` time IS the snapshot; subsequent
+    train steps produce *new* arrays and never mutate the captured ones.
+    Host-side state dicts keep mutating (metrics storage, scheduler state),
+    so they are deep-copied on the caller thread before handing off.
+
+    One save is in flight at a time: a new ``submit`` (and ``wait``) joins
+    the previous one first, so writes to best.pt/last.pt never interleave.
+    Background exceptions surface on the next submit/wait.
+
+    Multi-host note: this writer is only used when ``jax.process_count()==1``
+    (the trainer falls back to synchronous saves otherwise) — the flax
+    backend's cross-process barrier must be collective on the main thread.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error: BaseException | None = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, path: str | Path, state: TrainState, epoch: int, **host_state) -> None:
+        import copy
+        import threading
+
+        self.wait()
+        host_state = copy.deepcopy(host_state)
+
+        def run():
+            try:
+                save_checkpoint(path, state, epoch, **host_state)
+            except BaseException as e:  # surfaced on next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True, name="ckpt-writer")
+        self._thread.start()
+
+
 def load_checkpoint(path: str | Path) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)

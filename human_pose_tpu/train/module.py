@@ -117,6 +117,15 @@ class BaseModule:
 
     # -- device placement ----------------------------------------------------
     def batch_to_device(self, batch: dict) -> dict:
+        # Batches staged ahead by train/prefetch.DevicePrefetcher are fresh
+        # transfers consumed exactly once — already on device (and sharded
+        # under a mesh), no defensive copy needed.
+        from .prefetch import DeviceBatch
+
+        if isinstance(batch, DeviceBatch):
+            # plain-dict view (same array refs): DeviceBatch itself is not a
+            # registered pytree node, so it must not reach a jitted step
+            return dict(batch)
         # The train steps donate the batch buffers. jnp.asarray is a no-op for
         # arrays already on device, so a datamodule yielding cached device
         # arrays (reused across steps/epochs) would hand the same buffer to a

@@ -56,6 +56,8 @@ class Trainer:
         ckpt_backend: str = "flax",
         profile_dir: str | None = None,
         profile_steps: int = 5,
+        device_prefetch: int = 1,
+        async_ckpt: bool = True,
     ):
         self.logger = logger
         self.callbacks = Callbacks(callbacks)
@@ -63,6 +65,11 @@ class Trainer:
         self.limit_batches = limit_batches
         self.log_every_n_steps = log_every_n_steps
         self.run_sanity_check = run_sanity_check
+        self.device_prefetch = device_prefetch
+        self.async_ckpt = async_ckpt
+        from .checkpoint import AsyncCheckpointWriter
+
+        self._ckpt_writer = AsyncCheckpointWriter()
         self.log_path = Path(log_path)
         self.ckpt_backend = ckpt_backend
         # XLA profiler window (utils/profiling.py, SURVEY §5.1): captures a
@@ -99,17 +106,34 @@ class Trainer:
             desc=f"epoch {self.current_epoch} [train]",
             disable=not is_main_process(),
         )
+
+        # One-step deferred metric fetch: converting step N's metrics to host
+        # floats blocks until step N finishes on device. Holding them as
+        # device arrays for one iteration lets the host fetch/stage batch N+1
+        # and dispatch step N+1 while step N is still executing — the JAX
+        # async-dispatch analog of the reference's non_blocking H2D + CUDA
+        # stream overlap. Meter/storage/log contents are identical; only the
+        # moment of the host sync moves.
+        def consume(dev_metrics, step_idx: int) -> None:
+            metrics = metrics_to_host(dev_metrics)
+            meters.update(metrics)
+            self.storage.append(metrics, step_idx, self.current_epoch, "train")
+            if (step_idx + 1) % self.log_every_n_steps == 0:
+                pbar.set_postfix({k: f"{v:.4g}" for k, v in metrics.items()})
+                self.logger.log_metrics(metrics, step_idx + 1, "step")
+
+        pending = None
         for batch in pbar:
             self.profiler.on_step(self.current_step)
             with self.profiler.annotate(self.current_step):
-                metrics = metrics_to_host(self.module.training_step(batch))
-            meters.update(metrics)
-            self.storage.append(metrics, self.current_step, self.current_epoch, "train")
+                dev_metrics = self.module.training_step(batch)
+            if pending is not None:
+                consume(*pending)
+            pending = (dev_metrics, self.current_step)
             self.current_step += 1
             self.callbacks.on_step_end(self)
-            if self.current_step % self.log_every_n_steps == 0:
-                pbar.set_postfix({k: f"{v:.4g}" for k, v in metrics.items()})
-                self.logger.log_metrics(metrics, self.current_step, "step")
+        if pending is not None:
+            consume(*pending)
         return meters.to_dict()
 
     def evaluate(self, val_dl, split: str = "val") -> dict:
@@ -120,18 +144,25 @@ class Trainer:
         n_batches = min(len(val_dl), self.limit_batches) if self.limit_batches > 0 else len(val_dl)
         # deterministic in epoch: full-run reproducibility incl. plot choice
         plot_batch = random.Random(self.current_epoch).randint(0, max(0, n_batches - 1))
+        # same one-step deferred metric fetch as single_epoch: keep the
+        # device busy while the host stages the next batch
+        pending = None
         for i, batch in enumerate(
             tqdm(self._limit(val_dl), total=n_batches,
                  desc=f"epoch {self.current_epoch} [{split}]",
                  disable=not is_main_process())
         ):
             metrics, outputs = self.module.validation_step(batch)
-            meters.update(metrics_to_host(metrics))
+            if pending is not None:
+                meters.update(metrics_to_host(pending))
+            pending = metrics
             if i == plot_batch and hasattr(self.module, "make_results"):
                 try:
                     self.val_results = self.module.make_results(batch, outputs)
                 except Exception as e:
                     log.warning(f"make_results failed: {e}")
+        if pending is not None:
+            meters.update(metrics_to_host(pending))
         avg = meters.to_dict()
         self.storage.append(avg, self.current_step, self.current_epoch, split)
         self.callbacks.on_validation_end(self)
@@ -168,6 +199,16 @@ class Trainer:
         if self.run_sanity_check and datamodule.val_dl is not None:
             self.sanity_check(datamodule.val_dl)
 
+        # stage batches onto the device ahead of the running step (the JAX
+        # analog of the reference's non_blocking H2D, keypoints/module.py:36-41)
+        train_dl = datamodule.train_dl
+        if self.device_prefetch > 0 and train_dl is not None:
+            from .prefetch import DevicePrefetcher
+
+            train_dl = DevicePrefetcher(
+                train_dl, module.batch_to_device, buffer=self.device_prefetch
+            )
+
         try:
             for epoch in range(start_epoch, self.max_epochs):
                 self.current_epoch = epoch
@@ -175,7 +216,7 @@ class Trainer:
                     datamodule.train_dl.set_epoch(epoch)
                 self.callbacks.on_epoch_start(self)
 
-                train_metrics = self.single_epoch(datamodule.train_dl)
+                train_metrics = self.single_epoch(train_dl)
                 val_metrics = (
                     self.evaluate(datamodule.val_dl, "val")
                     if datamodule.val_dl is not None
@@ -209,9 +250,39 @@ class Trainer:
         finally:
             # close an unfinished profiler window (short runs / failures)
             self.profiler.stop()
+            # join any in-flight background checkpoint write so the run dir
+            # is complete (and write errors surface) before fit returns
+            self._ckpt_writer.wait()
 
     # -- checkpointing ---------------------------------------------------------
+    def _use_async_ckpt(self) -> bool:
+        # background writes need no cross-process barrier; multi-host flax
+        # saves must stay synchronous (collective barrier on the main thread)
+        import jax
+
+        return (
+            self.async_ckpt
+            and self.ckpt_backend == "flax"
+            and jax.process_count() == 1
+        )
+
     def save_checkpoint(self, path: str | Path) -> None:
+        host_state = dict(
+            datamodule_state={
+                **(self.datamodule.state_dict() if self.datamodule else {}),
+                "schedulers": self.module.schedulers_state_dict(),
+            },
+            metrics_state=self.storage.state_dict(),
+            callbacks_state=self.callbacks.state_dict(),
+            logger_state=self.logger.state_dict(),
+        )
+        if self._use_async_ckpt():
+            # device->host fetch + file write happen on a background thread
+            # while the next epoch trains (checkpoint.AsyncCheckpointWriter)
+            self._ckpt_writer.submit(
+                path, self.module.state, epoch=self.current_epoch, **host_state
+            )
+            return
         if self.ckpt_backend == "orbax":
             from . import checkpoint_orbax
 
@@ -221,23 +292,13 @@ class Trainer:
         # NOTE orbax saves run on ALL processes (each host writes its own
         # array shards); the flax backend gathers to the main process
         if is_main_process() or self.ckpt_backend == "orbax":
-            save_fn(
-                path,
-                self.module.state,
-                epoch=self.current_epoch,
-                datamodule_state={
-                    **(self.datamodule.state_dict() if self.datamodule else {}),
-                    "schedulers": self.module.schedulers_state_dict(),
-                },
-                metrics_state=self.storage.state_dict(),
-                callbacks_state=self.callbacks.state_dict(),
-                logger_state=self.logger.state_dict(),
-            )
+            save_fn(path, self.module.state, epoch=self.current_epoch, **host_state)
         # all processes wait for the checkpoint to exist before proceeding
         # (reference dist.barrier() around save, trainer.py:288-291)
         barrier("save_checkpoint")
 
     def load_checkpoint(self, path: str | Path) -> int:
+        self._ckpt_writer.wait()  # never read a file mid-background-write
         from .checkpoint_orbax import is_orbax_checkpoint
 
         if is_orbax_checkpoint(path):  # auto-detect, independent of backend
