@@ -161,6 +161,9 @@ class InferenceConfig:
     use_flip: bool = False
     # multi-scale TTA, e.g. [0.5, 1, 2] (keypoints only); None = single scale
     scales: list | None = None
+    # split the forward over N local devices, GPipe-style (keypoints only;
+    # parallel/pipeline.py). 0 = monolithic single-device forward
+    pipeline_devices: int = 0
 
 
 @dataclass

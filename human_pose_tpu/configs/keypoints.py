@@ -168,6 +168,7 @@ class KeypointsConfig(BaseConfig):
             use_flip=self.inference.use_flip,
             input_size=self.inference.input_size,
             scales=tuple(self.inference.scales or (1.0,)),
+            pipeline_devices=self.inference.pipeline_devices,
         )
 
 

@@ -128,6 +128,14 @@ class BatchedKeypointsEvaluator:
             # the same contract the serial path enforces per call
             # (models.py: tags/decode geometry come from the scale-1 pass)
             raise ValueError(f"scales must include 1.0, got {model.scales}")
+        if getattr(model, "_pipe", None) is not None:
+            # this evaluator batches through the monolithic jitted forward;
+            # silently ignoring the pipeline would misreport the measured path
+            raise ValueError(
+                "inference.pipeline_devices is for the serial/serving path; "
+                "batched eval parallelizes over the data mesh (--sharded) "
+                "instead — unset one of the two"
+            )
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh

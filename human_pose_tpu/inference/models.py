@@ -84,6 +84,7 @@ class InferenceKeypointsModel:
         max_num_people: int = 30,
         pad_multiple: int = 64,
         scales: tuple = (1.0,),
+        pipeline_devices: int = 0,
     ):
         """``pad_multiple`` > 64 buckets the 64-aligned input shapes into
         coarser shape classes by zero-padding bottom/right (the decode masks
@@ -103,11 +104,55 @@ class InferenceKeypointsModel:
         self.pad_multiple = pad_multiple
         self.scales = tuple(scales)
         self.model_input_shape: tuple | None = None
+        # pipeline parallelism (parallel/pipeline.py): the forward is split
+        # over pipeline_devices local devices, GPipe-style microbatched; the
+        # flip pass rides the same pipeline walk as the plain pass (one
+        # concatenated batch = two microbatches, so the pipeline overlaps
+        # them). 0 = monolithic single-device forward (default).
+        self._pipe = None
+        if pipeline_devices:
+            from ..parallel.pipeline import PipelinedModel, partition_for
+
+            self._pipe = PipelinedModel(
+                model, variables, partition=partition_for(pipeline_devices)
+            )
+
+    def forward_scale(self, x, hw):
+        """One multi-scale pass: forward (+flip), aggregate stages, resize to
+        the common decode size. Returns (avg_hms [N,H,W,K], tags list).
+        Dispatches to the monolithic jitted path or, when constructed with
+        ``pipeline_devices``, the pipeline-parallel path (identical outputs —
+        eval-mode BN makes results per-sample deterministic, so batching the
+        flip pass through the pipeline changes nothing)."""
+        if self._pipe is None:
+            return self._forward_scale(self.variables, x, hw)
+        n = x.shape[0]
+        if self.use_flip:
+            both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+            stages_hms, tags = self._pipe(both, microbatch_size=n)
+            return self._merge_resize_flip(stages_hms, tags, hw)
+        stages_hms, tags = self._pipe(x, microbatch_size=n)
+        return self._merge_resize(stages_hms, tags, hw)
+
+    @functools.partial(jax.jit, static_argnames=("self", "hw"))
+    def _merge_resize_flip(self, stages_hms, tags, hw):
+        """Post-pipeline glue for a [plain; flipped] concatenated forward."""
+        n = tags.shape[0] // 2
+        stages_hms = [
+            merge_flip_heatmaps(h[:n], h[n:]) for h in stages_hms
+        ]
+        tags_list = [tags[:n], flip_back(tags[n:])]
+        avg = resize_bilinear(average_stages(stages_hms), *hw)
+        return avg, [resize_bilinear(t, *hw) for t in tags_list]
+
+    @functools.partial(jax.jit, static_argnames=("self", "hw"))
+    def _merge_resize(self, stages_hms, tags, hw):
+        avg = resize_bilinear(average_stages(stages_hms), *hw)
+        return avg, [resize_bilinear(tags, *hw)]
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
     def _forward_scale(self, variables, x, hw):
-        """One multi-scale pass: forward (+flip), aggregate stages, resize to
-        the common decode size. Returns (avg_hms [N,H,W,K], tags list)."""
+        """Monolithic forward (+flip), aggregate stages, resize — one jit."""
         stages_hms, tags = self.model.apply(variables, x, train=False)
         if self.use_flip:
             f_hms, f_tags = self.model.apply(variables, x[:, :, ::-1, :], train=False)
@@ -182,9 +227,7 @@ class InferenceKeypointsModel:
                 xs = x1
             else:
                 xs, _, _ = self.prepare_input(raw_image, s, min_scale)
-            avg, tags_s = self._forward_scale(
-                self.variables, jnp.asarray(xs, dtype), (h, w)
-            )
+            avg, tags_s = self.forward_scale(jnp.asarray(xs, dtype), (h, w))
             avg_sum = avg if avg_sum is None else avg_sum + avg
             if s == 1.0:
                 tags_list = tags_s

@@ -61,7 +61,7 @@ class BatchedKeypointsPredictor:
         # have a different decode path and can't be batch-served by this
         # predictor — fail at construction with a pointed message instead of
         # an AttributeError on the first live request
-        for attr in ("_forward_scale", "_decode_aggregated", "prepare_input"):
+        for attr in ("forward_scale", "_decode_aggregated", "prepare_input"):
             if not hasattr(infer_model, attr):
                 raise TypeError(
                     f"{type(infer_model).__name__} lacks {attr}; the serving "
@@ -106,9 +106,9 @@ class BatchedKeypointsPredictor:
                 [batch, np.zeros((n_pad - n, *batch.shape[1:]), batch.dtype)]
             )
         hw = batch.shape[1:3]
-        avg, tags_list = self.m._forward_scale(
-            self.m.variables, jnp.asarray(batch, dtype), hw
-        )
+        # dispatches to the monolithic jit or, when the model was built with
+        # inference.pipeline_devices, the pipeline-parallel forward
+        avg, tags_list = self.m.forward_scale(jnp.asarray(batch, dtype), hw)
         joints, scores, valid, _, _ = self.m._decode_aggregated(
             avg, tags_list, hw, 1.0, valid_hw=reqs[0].valid_hw
         )

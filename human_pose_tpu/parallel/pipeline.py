@@ -54,6 +54,25 @@ DEFAULT_PARTITION: tuple = (
 )
 
 
+def partition_for(n_segments: int) -> tuple:
+    """Near-balanced groupings of the six units for 1-6 pipeline segments,
+    by the measured v5e per-unit times (module docstring): stem 0.45 /
+    stage1 0.22 / stage2 0.23 / stage3 1.22 / stage4 1.13 / head 1.0 ms/img."""
+    table = {
+        1: (("stem", "stage1", "stage2", "stage3", "stage4", "head"),),
+        2: (("stem", "stage1", "stage2", "stage3"), ("stage4", "head")),
+        3: (("stem", "stage1", "stage2", "stage3"), ("stage4",), ("head",)),
+        4: DEFAULT_PARTITION,
+        5: (("stem",), ("stage1", "stage2"), ("stage3",), ("stage4",), ("head",)),
+        6: (("stem",), ("stage1",), ("stage2",), ("stage3",), ("stage4",), ("head",)),
+    }
+    if n_segments not in table:
+        raise ValueError(
+            f"pipeline supports 1-6 segments (6 model units), got {n_segments}"
+        )
+    return table[n_segments]
+
+
 class Unit(NamedTuple):
     name: str
     # variables -> this unit's variable slice ({'params': ..., 'batch_stats': ...})

@@ -64,3 +64,68 @@ def test_pipeline_rejects_bad_args():
     pipe = PipelinedModel(model, variables, partition=(("stem", "stage1", "stage2", "stage3", "stage4", "head"),))
     with pytest.raises(ValueError, match="divisible"):
         pipe(np.zeros((3, 64, 64, 3), np.float32), microbatch_size=2)
+
+
+def test_partition_for_covers_all_units():
+    from human_pose_tpu.parallel.pipeline import partition_for
+
+    for n in range(1, 7):
+        part = partition_for(n)
+        assert len(part) == n
+        flat = [u for seg in part for u in seg]
+        assert sorted(flat) == sorted(
+            ["stem", "stage1", "stage2", "stage3", "stage4", "head"]
+        )
+    with pytest.raises(ValueError, match="1-6"):
+        partition_for(7)
+
+
+@pytest.mark.parametrize("use_flip", [False, True])
+def test_pipelined_inference_model_parity(use_flip):
+    """InferenceKeypointsModel(pipeline_devices=N) must decode identically to
+    the monolithic model — the full serving surface (forward_scale through
+    BatchedKeypointsPredictor), incl. the flip pass riding the pipeline as a
+    second microbatch."""
+    from human_pose_tpu.inference.models import InferenceKeypointsModel
+    from human_pose_tpu.inference.serving import BatchedKeypointsPredictor
+
+    model, variables = _model_and_vars(False)
+    kw = dict(det_thr=0.05, tag_thr=0.5, use_flip=use_flip, input_size=64)
+    mono = InferenceKeypointsModel(model, variables, **kw)
+    piped = InferenceKeypointsModel(model, variables, pipeline_devices=3, **kw)
+    assert piped._pipe is not None and len(piped._pipe.segments) == 3
+
+    image = (np.random.RandomState(1).rand(80, 112, 3) * 255).astype(np.uint8)
+    r_mono = mono(image)
+    r_pipe = piped(image)
+    np.testing.assert_allclose(r_pipe.kpts_coords, r_mono.kpts_coords, atol=1e-4)
+    np.testing.assert_allclose(r_pipe.obj_scores, r_mono.obj_scores, atol=1e-5)
+
+    # batched serving path: same requests through both predictors
+    p_mono = BatchedKeypointsPredictor(mono)
+    p_pipe = BatchedKeypointsPredictor(piped)
+    reqs_m = [p_mono.prepare(image) for _ in range(2)]
+    reqs_p = [p_pipe.prepare(image) for _ in range(2)]
+    out_m = p_mono.predict(reqs_m)
+    out_p = p_pipe.predict(reqs_p)
+    for a, b in zip(out_p, out_m):
+        assert a["num_people"] == b["num_people"]
+        for pa, pb in zip(a["people"], b["people"]):
+            np.testing.assert_allclose(
+                pa["keypoints"], pb["keypoints"], atol=1e-2
+            )
+            assert abs(pa["score"] - pb["score"]) < 1e-5
+
+
+def test_batched_eval_rejects_pipelined_model():
+    """Batched eval goes through the monolithic jitted forward; a model built
+    with pipeline_devices must be rejected, not silently run un-pipelined."""
+    from human_pose_tpu.inference.batched_eval import BatchedKeypointsEvaluator
+    from human_pose_tpu.inference.models import InferenceKeypointsModel
+
+    model, variables = _model_and_vars(False)
+    piped = InferenceKeypointsModel(
+        model, variables, input_size=64, pipeline_devices=2
+    )
+    with pytest.raises(ValueError, match="pipeline_devices"):
+        BatchedKeypointsEvaluator(piped, batch_size=2)

@@ -142,6 +142,32 @@ def test_trainer_deferred_metrics_match_serial_semantics(tmp_path):
     assert trainer.meters["train"].to_dict() == {"loss": 3.0}
 
 
+def test_prefetcher_mesh_sharded_path():
+    """Under a data mesh, the prefetcher stages batches with the module's
+    sharding; the second batch_to_device (inside training_step) returns a
+    plain jit-compatible dict view that keeps the sharded placement."""
+    from jax.sharding import Mesh
+
+    from human_pose_tpu.parallel import make_mesh
+    from human_pose_tpu.train.module import BaseModule
+
+    mesh = make_mesh(8)
+    assert isinstance(mesh, Mesh) and mesh.devices.size == 8
+    module = BaseModule(model=None, state=None, schedulers={}, mesh=mesh)
+    batches = [{"images": np.full((8, 4, 4, 3), float(i), np.float32)} for i in range(3)]
+    got = list(DevicePrefetcher(ListLoader(batches), module.batch_to_device))
+    assert len(got) == 3
+    for i, g in enumerate(got):
+        assert isinstance(g, DeviceBatch)
+        unwrapped = module.batch_to_device(g)
+        assert type(unwrapped) is dict
+        arr = unwrapped["images"]
+        # batch dim sharded over the 8 data devices, buffer not re-copied
+        assert len(arr.sharding.device_set) == 8
+        assert arr is g["images"]
+        assert float(_jitted_whole_batch_step(unwrapped)) == i * 8 * 4 * 4 * 3
+
+
 def test_trainer_device_prefetch_disabled(tmp_path):
     """device_prefetch=0 passes raw host batches through batch_to_device."""
     batches = _batches(n=3)
