@@ -70,6 +70,18 @@ def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
     return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
 
+def _pipeline_microbatch(total: int, n_segments: int) -> int:
+    """Largest divisor of ``total`` that is <= ceil(total / n_segments):
+    enough equal-size (jit-static) microbatches to fill all pipeline
+    segments, so fill/drain actually overlaps — one whole-batch microbatch
+    would run the segments strictly serially (bubble = (S-1)/S)."""
+    target = max(1, -(-total // n_segments))
+    for m in range(target, 0, -1):
+        if total % m == 0:
+            return m
+    return 1
+
+
 class InferenceKeypointsModel:
     limbs = COCO_LIMBS
 
@@ -126,12 +138,14 @@ class InferenceKeypointsModel:
         flip pass through the pipeline changes nothing)."""
         if self._pipe is None:
             return self._forward_scale(self.variables, x, hw)
-        n = x.shape[0]
+        n_seg = len(self._pipe.segments)
         if self.use_flip:
             both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
-            stages_hms, tags = self._pipe(both, microbatch_size=n)
+            mb = _pipeline_microbatch(both.shape[0], n_seg)
+            stages_hms, tags = self._pipe(both, microbatch_size=mb)
             return self._merge_resize_flip(stages_hms, tags, hw)
-        stages_hms, tags = self._pipe(x, microbatch_size=n)
+        mb = _pipeline_microbatch(x.shape[0], n_seg)
+        stages_hms, tags = self._pipe(x, microbatch_size=mb)
         return self._merge_resize(stages_hms, tags, hw)
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))

@@ -51,6 +51,16 @@ class Callbacks:
 
         return dispatch
 
+    def overrides_step_end(self) -> bool:
+        """True if any callback implements on_step_end. Such callbacks read
+        meters/storage at step granularity, so the trainer disables its
+        one-step-deferred metric fetch to keep the hook contract (metrics of
+        step N visible inside step N's on_step_end)."""
+        return any(
+            type(cb).on_step_end is not BaseCallback.on_step_end
+            for cb in self.callbacks
+        )
+
     def state_dict(self) -> dict:
         return {type(cb).__name__: cb.state_dict() for cb in self.callbacks}
 

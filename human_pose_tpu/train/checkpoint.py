@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -63,14 +64,26 @@ def save_checkpoint(
     log.info(f"saved checkpoint to {path} (epoch {epoch})")
 
 
+@jax.jit
+def _device_snapshot(tree):
+    """Fresh device-side copy of every array leaf. ``jnp.copy`` at an XLA
+    root is a real copy (never aliased to the parameter), so the result
+    shares no buffers with ``tree`` — safe against later donation."""
+    return jax.tree.map(jnp.copy, tree)
+
+
 class AsyncCheckpointWriter:
     """Non-blocking checkpoint saves for the single-process flax backend.
 
     The expensive parts of ``save_checkpoint`` — the device->host fetch of
     params/opt-state and the pickle write — run on a background thread while
-    training continues. Correctness relies on JAX arrays being immutable:
-    the TrainState captured at ``submit`` time IS the snapshot; subsequent
-    train steps produce *new* arrays and never mutate the captured ones.
+    training continues. JAX array immutability alone is NOT enough for the
+    snapshot: the jitted train steps donate the TrainState buffers
+    (train/steps.py ``donate_argnames``), so the arrays captured at
+    ``submit`` time are invalidated as soon as the next step dispatches.
+    ``submit`` therefore enqueues a device-side copy of the state *before*
+    returning (dispatch order guarantees the copy reads the buffers ahead of
+    the donating step), and the background thread fetches that copy.
     Host-side state dicts keep mutating (metrics storage, scheduler state),
     so they are deep-copied on the caller thread before handing off.
 
@@ -84,32 +97,25 @@ class AsyncCheckpointWriter:
     """
 
     def __init__(self):
-        self._thread = None
-        self._error: BaseException | None = None
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt-writer")
+        self._future = None
 
     def wait(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._error is not None:
-            err, self._error = self._error, None
-            raise err
+        if self._future is not None:
+            fut, self._future = self._future, None
+            fut.result()  # joins the write; re-raises background errors
 
     def submit(self, path: str | Path, state: TrainState, epoch: int, **host_state) -> None:
         import copy
-        import threading
 
         self.wait()
+        state = _device_snapshot(state)
         host_state = copy.deepcopy(host_state)
-
-        def run():
-            try:
-                save_checkpoint(path, state, epoch, **host_state)
-            except BaseException as e:  # surfaced on next wait()
-                self._error = e
-
-        self._thread = threading.Thread(target=run, daemon=True, name="ckpt-writer")
-        self._thread.start()
+        self._future = self._pool.submit(
+            save_checkpoint, path, state, epoch, **host_state
+        )
 
 
 def load_checkpoint(path: str | Path) -> dict:

@@ -122,14 +122,27 @@ class Trainer:
                 pbar.set_postfix({k: f"{v:.4g}" for k, v in metrics.items()})
                 self.logger.log_metrics(metrics, step_idx + 1, "step")
 
+        # a callback that overrides on_step_end reads meters/storage at step
+        # granularity — deferring the fetch would show it stale (step N-1)
+        # state, so fall back to the serial per-step fetch in that case
+        defer = not self.callbacks.overrides_step_end()
         pending = None
         for batch in pbar:
+            if pending is not None and self.profiler.closing(self.current_step):
+                # the profiler window ends at this step: block on the pending
+                # metrics so every profiled step has finished on device before
+                # the trace closes (otherwise the tail steps are truncated)
+                consume(*pending)
+                pending = None
             self.profiler.on_step(self.current_step)
             with self.profiler.annotate(self.current_step):
                 dev_metrics = self.module.training_step(batch)
             if pending is not None:
                 consume(*pending)
             pending = (dev_metrics, self.current_step)
+            if not defer:
+                consume(*pending)
+                pending = None
             self.current_step += 1
             self.callbacks.on_step_end(self)
         if pending is not None:
@@ -236,6 +249,10 @@ class Trainer:
                         for k, v in m.items()
                     )
                 )
+            # join the last background checkpoint write BEFORE declaring the
+            # run finished — a failed last.pt write must mark the run FAILED,
+            # not surface after a FINISHED finalize
+            self._ckpt_writer.wait()
             self.logger.finalize(Status.FINISHED)
         except KeyboardInterrupt:
             log.warning("KeyboardInterrupt -> KILLED")
@@ -251,8 +268,14 @@ class Trainer:
             # close an unfinished profiler window (short runs / failures)
             self.profiler.stop()
             # join any in-flight background checkpoint write so the run dir
-            # is complete (and write errors surface) before fit returns
-            self._ckpt_writer.wait()
+            # is complete before fit returns; on failure paths only log the
+            # write error — never replace the in-flight exception
+            try:
+                self._ckpt_writer.wait()
+            except Exception:
+                log.error(
+                    f"background checkpoint write failed:\n{traceback.format_exc()}"
+                )
 
     # -- checkpointing ---------------------------------------------------------
     def _use_async_ckpt(self) -> bool:

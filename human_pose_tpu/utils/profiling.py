@@ -57,6 +57,13 @@ class StepWindowProfiler:
         elif self._exit is not None and global_step >= self.start + self.steps:
             self.stop()
 
+    def closing(self, global_step: int) -> bool:
+        """True when the next ``on_step(global_step)`` will close the trace —
+        callers with deferred device work (e.g. the trainer's one-step-lagged
+        metric fetch) must sync on it first so the profiled steps' device
+        timelines are complete when the window ends."""
+        return self._exit is not None and global_step >= self.start + self.steps
+
     @contextlib.contextmanager
     def annotate(self, global_step: int):
         if self.done or not (self.start <= global_step < self.start + self.steps):

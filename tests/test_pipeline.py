@@ -101,20 +101,30 @@ def test_pipelined_inference_model_parity(use_flip):
     np.testing.assert_allclose(r_pipe.kpts_coords, r_mono.kpts_coords, atol=1e-4)
     np.testing.assert_allclose(r_pipe.obj_scores, r_mono.obj_scores, atol=1e-5)
 
-    # batched serving path: same requests through both predictors
+    # batched serving path. The batch>1 pipeline splits into per-segment
+    # microbatches (different XLA programs than the monolithic bs-2 forward),
+    # so decoded persons can differ by fp tie-flips on these random-weight
+    # near-degenerate heatmaps — pin the decode INPUTS tightly instead, and
+    # run the predictor end-to-end as a plumbing check.
     p_mono = BatchedKeypointsPredictor(mono)
     p_pipe = BatchedKeypointsPredictor(piped)
-    reqs_m = [p_mono.prepare(image) for _ in range(2)]
-    reqs_p = [p_pipe.prepare(image) for _ in range(2)]
-    out_m = p_mono.predict(reqs_m)
-    out_p = p_pipe.predict(reqs_p)
-    for a, b in zip(out_p, out_m):
-        assert a["num_people"] == b["num_people"]
-        for pa, pb in zip(a["people"], b["people"]):
-            np.testing.assert_allclose(
-                pa["keypoints"], pb["keypoints"], atol=1e-2
-            )
-            assert abs(pa["score"] - pb["score"]) < 1e-5
+    reqs = [p_mono.prepare(image) for _ in range(2)]
+    import jax.numpy as jnp
+
+    xb = jnp.asarray(np.stack([np.asarray(r.x)[0] for r in reqs]))
+    hw = (xb.shape[1], xb.shape[2])
+    avg_m, tags_m = mono.forward_scale(xb, hw)
+    avg_p, tags_p = piped.forward_scale(xb, hw)
+    np.testing.assert_allclose(np.asarray(avg_p), np.asarray(avg_m), atol=1e-4)
+    for tm, tp_ in zip(tags_m, tags_p):
+        np.testing.assert_allclose(np.asarray(tp_), np.asarray(tm), atol=1e-4)
+
+    out_p = p_pipe.predict([p_pipe.prepare(image) for _ in range(2)])
+    assert len(out_p) == 2
+    for a in out_p:
+        assert a["num_people"] == len(a["people"])
+        for person in a["people"]:
+            assert np.asarray(person["keypoints"]).shape[-1] == 3
 
 
 def test_batched_eval_rejects_pipelined_model():
@@ -129,3 +139,16 @@ def test_batched_eval_rejects_pipelined_model():
     )
     with pytest.raises(ValueError, match="pipeline_devices"):
         BatchedKeypointsEvaluator(piped, batch_size=2)
+
+
+def test_pipeline_microbatch_sizing():
+    """Batched pipeline calls must split into enough microbatches to fill the
+    segments (overlap), while staying equal-size divisors (one jit shape)."""
+    from human_pose_tpu.inference.models import _pipeline_microbatch
+
+    assert _pipeline_microbatch(8, 4) == 2    # 4 microbatches fill 4 segments
+    assert _pipeline_microbatch(16, 3) == 4   # ceil(16/3)=6 -> divisor 4
+    assert _pipeline_microbatch(6, 3) == 2
+    assert _pipeline_microbatch(1, 4) == 1
+    assert _pipeline_microbatch(3, 4) == 1    # prime: per-sample microbatches
+    assert _pipeline_microbatch(4, 1) == 4    # single segment: whole batch

@@ -188,3 +188,65 @@ def test_trainer_device_prefetch_disabled(tmp_path):
     )
     trainer.fit(module, DataModule(ListLoader(batches), None))
     assert module.step_count == 3
+
+
+def test_step_end_callback_sees_current_step_metrics(tmp_path):
+    """A callback overriding on_step_end reads meters/storage at step
+    granularity; the trainer must disable the deferred fetch so the hook
+    sees the metrics of the step that JUST ran (reference hook contract)."""
+    from human_pose_tpu.train.callbacks import BaseCallback, Callbacks
+
+    seen = []
+
+    class StepReader(BaseCallback):
+        def on_step_end(self, trainer):
+            rows = trainer.storage.metrics.get("loss", {}).get("train", [])
+            seen.append((trainer.current_step, len(rows)))
+
+    assert Callbacks([StepReader()]).overrides_step_end()
+    assert not Callbacks([BaseCallback()]).overrides_step_end()
+
+    batches = _batches(n=3)
+    trainer = Trainer(
+        Loggers([TerminalLogger(tmp_path)], tmp_path),
+        callbacks=[StepReader()],
+        max_epochs=1,
+        log_path=tmp_path,
+        device_prefetch=1,
+    )
+    trainer.fit(FakeModule(), DataModule(ListLoader(batches), None))
+    # after step N completes (current_step already incremented to N+1), the
+    # storage holds all N+1 rows — no one-step lag
+    assert seen == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_profiler_window_flushes_pending_metrics(tmp_path):
+    """The deferred metric fetch must be flushed before the profiler window
+    closes, so every profiled step has finished on device (utils/profiling
+    StepWindowProfiler.closing)."""
+    batches = _batches(n=5)
+    trainer = Trainer(
+        Loggers([TerminalLogger(tmp_path)], tmp_path),
+        callbacks=[],
+        max_epochs=1,
+        log_path=tmp_path,
+        device_prefetch=1,
+        profile_dir=str(tmp_path / "trace"),
+    )
+    # window = steps [2, 4): closing(4) is True only while the trace is open
+    trainer.profiler.steps = 2
+    order = []
+    real_closing = type(trainer.profiler).closing
+
+    def spy_closing(self, step):
+        r = real_closing(self, step)
+        order.append(("closing", step, r))
+        return r
+
+    trainer.profiler.closing = spy_closing.__get__(trainer.profiler)
+    trainer.fit(FakeModule(), DataModule(ListLoader(batches), None))
+    assert ("closing", 4, True) in order
+    assert trainer.profiler.done
+    # metrics bookkeeping unharmed by the mid-epoch flush
+    rows = trainer.storage.metrics["loss"]["train"]
+    assert [r["value"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 5.0]
