@@ -12,6 +12,14 @@ from ..parallel.distributed import finalize_distributed, setup_distributed
 
 
 def train(cfg_dict: dict, ConfigClass) -> None:
+    # ``trainer.accelerator: cpu`` must pin the JAX platform BEFORE any
+    # backend initialization (on hosts with an accelerator plugin, the env var
+    # JAX_PLATFORMS can be overridden by the plugin; jax.config is not) —
+    # lets users run data-pipeline/config debugging on the host CPU.
+    if cfg_dict.get("trainer", {}).get("accelerator") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     setup_distributed()
     cfg = ConfigClass.from_dict(cfg_dict)
     cfg.initialize_logging()
