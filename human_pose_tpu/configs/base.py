@@ -70,6 +70,11 @@ class DataloaderConfig:
     batch_size: int = 32
     pin_memory: bool = True
     num_workers: int = 4
+    # uint8 images + fp16 heatmap targets + bool masks on the host; the
+    # jitted steps normalize/upcast on device (~2.5x less collate memcpy and
+    # host->device transfer per image — docs/performance.md). Requires the
+    # default ImageNet mean/std.
+    compact_batches: bool = False
     train_ds: DatasetConfig = field(default_factory=DatasetConfig)
     val_ds: DatasetConfig = field(default_factory=DatasetConfig)
 

@@ -42,7 +42,10 @@ class ClassificationConfig(BaseConfig):
 
         from ..train.trainer import DataModule
 
-        t = ClassificationTransform(out_size=self._out_size())
+        t = ClassificationTransform(
+            out_size=self._out_size(),
+            normalize=not self.dataloader.compact_batches,
+        )
         dl_cfg = self.dataloader
         try:
             train_ds = ImagenetClassificationDataset(

@@ -69,7 +69,16 @@ class KeypointsConfig(BaseConfig):
 
     def _make_transform(self) -> KeypointsTransform:
         t = self.transform
+        if self.dataloader.compact_batches and (
+            list(t.mean) != [0.485, 0.456, 0.406] or list(t.std) != [0.229, 0.224, 0.225]
+        ):
+            raise ValueError(
+                "dataloader.compact_batches requires the default ImageNet "
+                "mean/std — the device-side normalize (train/steps._prep_images) "
+                "uses those constants"
+            )
         return KeypointsTransform(
+            normalize=not self.dataloader.compact_batches,
             out_size=t.out_size,
             hm_resolutions=t.hm_resolutions,
             max_rotation=t.max_rotation,
@@ -94,6 +103,7 @@ class KeypointsConfig(BaseConfig):
             num_kpts=dl_cfg.train_ds.num_kpts,
             max_num_people=dl_cfg.train_ds.max_num_people,
             sigma=dl_cfg.train_ds.sigma,
+            compact=dl_cfg.compact_batches,
         )
         train_ds = CocoKeypointsDataset(
             dl_cfg.train_ds.root, dl_cfg.train_ds.split, t.train,

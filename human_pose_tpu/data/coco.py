@@ -101,10 +101,12 @@ class CocoKeypointsDataset:
         max_num_people: int = 30,
         sigma: float = 2.0,
         mosaic_probability: float = 0.0,
+        compact: bool = False,
     ):
         self.root = root
         self.split = split
         self.transform = transform
+        self.compact = compact
         self.out_size = out_size
         self.num_scales = len(hm_resolutions)
         self.num_kpts = num_kpts
@@ -218,6 +220,18 @@ class CocoKeypointsDataset:
             padded_joints.append(pj)
             heatmaps.append(self.hm_generators[i](pj[pj.sum(axis=(1, 2)) > 0]))
         # AE loss samples tags at the 1/4-res scale (reference loss.py:90)
+        if self.compact:
+            # Compact host batches: uint8 image (the transform was built with
+            # normalize=False; the device step normalizes), fp16 gaussian
+            # targets (values in [0,1]; the loss upcasts to f32), bool masks
+            # (exact — the affine warp binarizes them). ~8.9 -> ~3.6 MB/img
+            # of collate memcpy + host->device transfer.
+            return (
+                img if img.dtype == np.uint8 else img.astype(np.float32),
+                [h.astype(np.float16) for h in heatmaps],
+                [m.astype(bool) for m in mask_list],
+                padded_joints[0],
+            )
         return img.astype(np.float32), heatmaps, mask_list, padded_joints[0]
 
 

@@ -34,7 +34,10 @@ def normalize(image: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.nda
 
 def inverse_normalize(image: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
     """float32 HWC normalized -> uint8 HWC (reference ImageTransform.inverse_transform,
-    src/base/transforms/base.py:18-41)."""
+    src/base/transforms/base.py:18-41). uint8 passes through unchanged —
+    compact host batches keep images un-normalized until the device step."""
+    if image.dtype == np.uint8:
+        return image
     img = image * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
     return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
@@ -148,11 +151,17 @@ class KeypointsTransform:
         max_translate: int = 40,
         mean=IMAGENET_MEAN,
         std=IMAGENET_STD,
+        normalize: bool = True,
     ):
+        """``normalize=False`` leaves the image uint8 (compact host batches:
+        4x less collate memcpy + host->device transfer per image); the jitted
+        train/val steps normalize on device, where XLA fuses the
+        multiply-add into the stem convolution (train/steps._prep_images)."""
         self.out_size = out_size
         self.mean, self.std = mean, std
         hm_sizes = [int(r * out_size) for r in hm_resolutions]
         self.hm_sizes = hm_sizes
+        tail = [NormalizeKeypoints(mean, std)] if normalize else []
         self.train = ComposeKeypointsTransform(
             [
                 RandomAffineTransform(
@@ -160,14 +169,12 @@ class KeypointsTransform:
                     scale_type, max_translate,
                 ),
                 RandomHorizontalFlip(COCO_FLIP_INDEX, hm_sizes, 0.5),
-                NormalizeKeypoints(mean, std),
             ]
+            + tail
         )
         self.inference = ComposeKeypointsTransform(
-            [
-                RandomAffineTransform(out_size, hm_sizes, 0, 1, 1, scale_type, 0),
-                NormalizeKeypoints(mean, std),
-            ]
+            [RandomAffineTransform(out_size, hm_sizes, 0, 1, 1, scale_type, 0)]
+            + tail
         )
 
     @staticmethod
@@ -220,9 +227,16 @@ def center_crop(image: np.ndarray, size: int) -> np.ndarray:
 class ClassificationTransform:
     """Reference src/classification/transforms.py:7-31."""
 
-    def __init__(self, out_size: int = 224, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    def __init__(
+        self, out_size: int = 224, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+        normalize: bool = True,
+    ):
+        """``normalize=False``: ship uint8 crops, normalize on device
+        (train/steps._prep_images) — same compact-batch contract as
+        KeypointsTransform."""
         self.out_size = out_size
         self.mean, self.std = mean, std
+        self.normalize = normalize
 
     def train(self, image: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
         if rng is None:
@@ -230,12 +244,12 @@ class ClassificationTransform:
         img = random_resized_crop(image, self.out_size, rng)
         if rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
-        return normalize(img, self.mean, self.std)
+        return normalize(img, self.mean, self.std) if self.normalize else img
 
     def inference(self, image: np.ndarray, rng=None) -> np.ndarray:
         img = resize_short(image, int(self.out_size / 0.875))
         img = center_crop(img, self.out_size)
-        return normalize(img, self.mean, self.std)
+        return normalize(img, self.mean, self.std) if self.normalize else img
 
     @staticmethod
     def inverse_transform(image: np.ndarray) -> np.ndarray:

@@ -15,7 +15,11 @@ thread-pool loader scales with cores on a real TPU VM host (cv2/numpy release
 the GIL for the heavy ops; v5e-8 hosts have 112 vCPUs at 8 chips -> 14
 vCPUs/chip of budget).
 
-Usage: python prof_loader.py [--n=64] [--batch=8] [--no-e2e]
+Usage: python prof_loader.py [--n=64] [--batch=8] [--no-e2e] [--compact]
+
+NOTE: this 1-core box is noisy (stage costs jitter ±30% between runs); for
+plain-vs-compact comparisons run the two datasets interleaved on the same
+samples (see docs/performance.md for the measured A/B).
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ def timeit(fn, iters: int, *args):
 
 
 def main() -> None:
-    n_images, batch, e2e = 64, 8, True
+    n_images, batch, e2e, compact = 64, 8, True, False
     for tok in sys.argv[1:]:
         if tok.startswith("--n="):
             n_images = int(tok.split("=")[1])
@@ -58,6 +62,8 @@ def main() -> None:
             batch = int(tok.split("=")[1])
         elif tok == "--no-e2e":
             e2e = False
+        elif tok == "--compact":
+            compact = True
         else:
             raise SystemExit(f"unknown flag: {tok}")
 
@@ -69,10 +75,12 @@ def main() -> None:
     t = KeypointsTransform(
         out_size=512, hm_resolutions=(0.25, 0.5),
         max_rotation=30, min_scale=0.7, max_scale=1.6, max_translate=40,
+        normalize=not compact,
     )
     ds = CocoKeypointsDataset(
         str(root), "train2017", t.train, out_size=512,
         hm_resolutions=[0.25, 0.5], num_kpts=17, max_num_people=30, sigma=2.0,
+        compact=compact,
     )
 
     # -- per-stage single-thread breakdown (sample 0, fixed rng) -------------
