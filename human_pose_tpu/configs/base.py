@@ -169,6 +169,11 @@ class InferenceConfig:
     # split the forward over N local devices, GPipe-style (keypoints only;
     # parallel/pipeline.py). 0 = monolithic single-device forward
     pipeline_devices: int = 0
+    # ship uint8 pixels to the device and normalize inside the jitted
+    # forward: 4x less host->device transfer + no host normalize pass
+    # (ops/images.py). Exact at pad_multiple=64; bucket padding uses the
+    # nearest-uint8 pad pixel (the pad>64 path is approximate either way)
+    compact_inputs: bool = False
 
 
 @dataclass

@@ -179,6 +179,7 @@ class KeypointsConfig(BaseConfig):
             input_size=self.inference.input_size,
             scales=tuple(self.inference.scales or (1.0,)),
             pipeline_devices=self.inference.pipeline_devices,
+            compact_inputs=self.inference.compact_inputs,
         )
 
 

@@ -187,7 +187,6 @@ class BatchedKeypointsEvaluator:
     def _dispatch(self, key: tuple) -> None:
         metas = self._buckets.pop(key)
         m = self.model
-        dtype = getattr(m.model, "dtype", jnp.float32)
         n_real = len(metas)
         pad = self.batch_size - n_real
         hw = key[self._scales().index(1.0)]
@@ -199,7 +198,7 @@ class BatchedKeypointsEvaluator:
         tags_list = None
         for s in self._scales():
             xs = np.stack([p.xs[s] for p in metas] + [metas[-1].xs[s]] * pad)
-            xs = jnp.asarray(xs, dtype)
+            xs = m.to_device(xs)  # uint8 stays uint8 (compact_inputs)
             if self.mesh is not None:
                 from ..parallel.mesh import batch_sharding
 

@@ -25,6 +25,7 @@ from ..data.transforms import (
 from ..ops.decode import decode_batch
 from ..ops.flip import flip_back, merge_flip_heatmaps
 from ..ops.heatmaps import average_stages, resize_bilinear
+from ..ops.images import PAD_PIXEL_U8, prep_images
 from ..ops.sppe import sppe_parse
 from ..train.checkpoint import load_checkpoint, load_train_state
 from .results import ClassificationResult, InferenceKeypointsResult
@@ -70,6 +71,11 @@ def load_variables_from_ckpt(model, ckpt_path: str, input_shape=(64, 64, 3)):
     return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
 
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _prep_images_jit(x, out_dtype):
+    return prep_images(x, out_dtype)
+
+
 def _pipeline_microbatch(total: int, n_segments: int) -> int:
     """Largest divisor of ``total`` that is <= ceil(total / n_segments):
     enough equal-size (jit-static) microbatches to fill all pipeline
@@ -97,6 +103,7 @@ class InferenceKeypointsModel:
         pad_multiple: int = 64,
         scales: tuple = (1.0,),
         pipeline_devices: int = 0,
+        compact_inputs: bool = False,
     ):
         """``pad_multiple`` > 64 buckets the 64-aligned input shapes into
         coarser shape classes by zero-padding bottom/right (the decode masks
@@ -115,6 +122,12 @@ class InferenceKeypointsModel:
         self.max_num_people = max_num_people
         self.pad_multiple = pad_multiple
         self.scales = tuple(scales)
+        # compact_inputs: ship uint8 pixels to the device and normalize
+        # inside the jitted forward (4x less host->device transfer + no host
+        # normalize pass). Shape-bucket padding uses PAD_PIXEL_U8 (the uint8
+        # pixel closest to normalized zero) instead of exact normalized zero
+        # — the pad>64 bucket path is approximate either way (see above).
+        self.compact_inputs = compact_inputs
         self.model_input_shape: tuple | None = None
         # pipeline parallelism (parallel/pipeline.py): the forward is split
         # over pipeline_devices local devices, GPipe-style microbatched; the
@@ -138,6 +151,10 @@ class InferenceKeypointsModel:
         flip pass through the pipeline changes nothing)."""
         if self._pipe is None:
             return self._forward_scale(self.variables, x, hw)
+        # the pipeline walks raw model segments, so normalize before entry
+        # (jitted — one cached tiny graph per input shape; no-op for floats)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = _prep_images_jit(x, getattr(self.model, "dtype", jnp.float32))
         n_seg = len(self._pipe.segments)
         if self.use_flip:
             both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
@@ -167,6 +184,7 @@ class InferenceKeypointsModel:
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
     def _forward_scale(self, variables, x, hw):
         """Monolithic forward (+flip), aggregate stages, resize — one jit."""
+        x = prep_images(x, getattr(self.model, "dtype", jnp.float32))
         stages_hms, tags = self.model.apply(variables, x, train=False)
         if self.use_flip:
             f_hms, f_tags = self.model.apply(variables, x[:, :, ::-1, :], train=False)
@@ -202,13 +220,28 @@ class InferenceKeypointsModel:
         resized, center, scale = resize_align_multi_scale(
             image, self.input_size, current_scale, min_scale
         )
-        x = normalize(resized)[None]
+        x = resized[None] if self.compact_inputs else normalize(resized)[None]
         if self.pad_multiple > 64:
             m = self.pad_multiple
             h, w = x.shape[1:3]
             ph, pw = -(-h // m) * m, -(-w // m) * m
-            x = np.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+            if self.compact_inputs:
+                # pad with the uint8 pixel closest to normalized zero so the
+                # bucket pad region matches the fp32 path's zero-padding
+                padded = np.empty((1, ph, pw, 3), np.uint8)
+                padded[:] = np.asarray(PAD_PIXEL_U8, np.uint8)
+                padded[:, :h, :w] = x
+                x = padded
+            else:
+                x = np.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         return x, center, scale
+
+    def to_device(self, xs: np.ndarray):
+        """Transfer a host batch: uint8 stays uint8 (the jitted forward
+        normalizes + casts on device), floats pre-cast to the model dtype."""
+        if xs.dtype == np.uint8:
+            return jnp.asarray(xs)
+        return jnp.asarray(xs, getattr(self.model, "dtype", jnp.float32))
 
     def __call__(
         self, raw_image: np.ndarray, annot=None, scales=None
@@ -221,7 +254,6 @@ class InferenceKeypointsModel:
         if 1.0 not in scales:
             # tags (and the decode geometry) always come from the scale-1 pass
             raise ValueError(f"scales must include 1.0, got {scales}")
-        dtype = getattr(self.model, "dtype", jnp.float32)
         min_scale = min(scales)
 
         # decode size / inverse-affine params come from the scale-1 pass;
@@ -241,7 +273,7 @@ class InferenceKeypointsModel:
                 xs = x1
             else:
                 xs, _, _ = self.prepare_input(raw_image, s, min_scale)
-            avg, tags_s = self.forward_scale(jnp.asarray(xs, dtype), (h, w))
+            avg, tags_s = self.forward_scale(self.to_device(xs), (h, w))
             avg_sum = avg if avg_sum is None else avg_sum + avg
             if s == 1.0:
                 tags_list = tags_s
@@ -252,7 +284,11 @@ class InferenceKeypointsModel:
         return InferenceKeypointsResult.from_decoded(
             raw_image=raw_image,
             annot=annot,
-            model_input_image=inverse_normalize(np.asarray(x1[0, :vh, :vw], np.float32)),
+            model_input_image=(
+                np.asarray(x1[0, :vh, :vw])  # uint8 compact input, displayable as-is
+                if x1.dtype == np.uint8
+                else inverse_normalize(np.asarray(x1[0, :vh, :vw], np.float32))
+            ),
             avg_heatmaps=np.asarray(avg[0, :vh, :vw]),
             tags_heatmaps=np.asarray(tags[0, :vh, :vw]),
             joints=joints[0],

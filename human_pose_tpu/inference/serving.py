@@ -97,7 +97,6 @@ class BatchedKeypointsPredictor:
         compiles log2(max_batch)+1 programs instead of one per size (pad
         images are zeros; their decoded junk is sliced off)."""
         assert len({r.key for r in reqs}) == 1, "mixed buckets in one batch"
-        dtype = getattr(self.m.model, "dtype", jnp.float32)
         batch = np.concatenate([r.x for r in reqs], axis=0)
         n = batch.shape[0]
         n_pad = 1 << (n - 1).bit_length()  # next power of two
@@ -108,7 +107,7 @@ class BatchedKeypointsPredictor:
         hw = batch.shape[1:3]
         # dispatches to the monolithic jit or, when the model was built with
         # inference.pipeline_devices, the pipeline-parallel forward
-        avg, tags_list = self.m.forward_scale(jnp.asarray(batch, dtype), hw)
+        avg, tags_list = self.m.forward_scale(self.m.to_device(batch), hw)
         joints, scores, valid, _, _ = self.m._decode_aggregated(
             avg, tags_list, hw, 1.0, valid_hw=reqs[0].valid_hw
         )

@@ -21,25 +21,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# Compact host batches ship uint8 images (4x less host->device bandwidth);
+# the step normalizes on device, where XLA fuses the multiply-add into the
+# stem conv (ops/images.py). No-op on the fp32 path (dtype is jit-static).
+from ..ops.images import prep_images as _prep_images
 from .losses import ae_keypoints_loss, classification_loss
 from .optim import set_learning_rate
 from .state import TrainState
-
-
-# ImageNet constants, matching data/transforms.normalize. Compact host
-# batches ship uint8 images (4x less host->device bandwidth); the step
-# normalizes on device, where XLA fuses the multiply-add into the stem conv.
-# Dtype is static under jit, so the branch costs nothing on the fp32 path.
-_IMAGENET_MEAN = (0.485, 0.456, 0.406)
-_IMAGENET_STD = (0.229, 0.224, 0.225)
-
-
-def _prep_images(images):
-    if not jnp.issubdtype(images.dtype, jnp.integer):
-        return images
-    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
-    return (images.astype(jnp.float32) / 255.0 - mean) / std
 
 
 def _apply_train(state: TrainState, images):
