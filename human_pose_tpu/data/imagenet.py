@@ -53,6 +53,10 @@ class ImagenetClassificationDataset:
         label = self.samples[idx][1]
         if self.transform is not None:
             img = self.transform(img, rng=rng)
+        # compact path (transform built with normalize=False) keeps uint8;
+        # the jitted step normalizes on device (ops/images.py)
+        if img.dtype == np.uint8:
+            return img, label
         return img.astype(np.float32), label
 
 

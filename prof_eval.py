@@ -11,7 +11,11 @@ here is worse than a local host would see (it transfers ~80 MB of heatmaps
 per image); the batched number transfers KBs and is close to honest. Treat
 the ratio as an upper bound and the batched img/s as the eval throughput.
 
-Usage: python prof_eval.py [n_images=32] [batch=16]
+Usage: python prof_eval.py [n_images=32] [batch=16] [--no-serial]
+
+Also times the batched evaluator with ``inference.compact_inputs`` (uint8
+through the tunnel instead of bf16x2 — 2x fewer upload bytes; on local PCIe
+it is 4x vs a hypothetical fp32 upload).
 """
 
 from __future__ import annotations
@@ -44,8 +48,10 @@ class _ShimDataset:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_serial = "--no-serial" in sys.argv[1:]
+    n = int(args[0]) if args else 32
+    batch = int(args[1]) if len(args) > 1 else 16
 
     from human_pose_tpu.bin.eval_keypoints import evaluate_dataset
     from human_pose_tpu.inference import (
@@ -64,24 +70,38 @@ def main() -> None:
     ds = _ShimDataset(n)
     im = InferenceKeypointsModel(model, variables, input_size=512, max_num_people=30)
 
-    # warmup/compile both paths on a handful of images
-    evaluate_dataset(im, ds, limit=2)
-    evaluate_dataset_batched(im, ds, batch_size=batch, limit=batch, progress=False)
+    im_c = InferenceKeypointsModel(
+        model, variables, input_size=512, max_num_people=30, compact_inputs=True
+    )
 
-    t0 = time.perf_counter()
-    evaluate_dataset(im, ds)
-    t_serial = time.perf_counter() - t0
+    # warmup/compile the measured paths on a handful of images
+    if not no_serial:
+        evaluate_dataset(im, ds, limit=2)
+    evaluate_dataset_batched(im, ds, batch_size=batch, limit=batch, progress=False)
+    evaluate_dataset_batched(im_c, ds, batch_size=batch, limit=batch, progress=False)
+
+    t_serial = None
+    if not no_serial:
+        t0 = time.perf_counter()
+        evaluate_dataset(im, ds)
+        t_serial = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     evaluate_dataset_batched(im, ds, batch_size=batch, progress=False)
     t_batched = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    evaluate_dataset_batched(im_c, ds, batch_size=batch, progress=False)
+    t_compact = time.perf_counter() - t0
+
     print({
         "n_images": n,
         "batch": batch,
-        "serial_img_s": round(n / t_serial, 2),
+        "serial_img_s": round(n / t_serial, 2) if t_serial else None,
         "batched_img_s": round(n / t_batched, 2),
-        "speedup": round(t_serial / t_batched, 2),
+        "batched_compact_img_s": round(n / t_compact, 2),
+        "speedup_batched_vs_serial": round(t_serial / t_batched, 2) if t_serial else None,
+        "speedup_compact_vs_batched": round(t_batched / t_compact, 2),
     })
 
 

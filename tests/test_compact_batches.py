@@ -178,6 +178,33 @@ def test_classification_val_step_uint8_matches_float():
     )
 
 
+def test_classification_config_wires_compact(tmp_path):
+    from human_pose_tpu.configs.classification import ClassificationConfig
+    from tests.test_data import make_imagenet_fixture
+
+    root = tmp_path / "imagenet"
+    make_imagenet_fixture(root, split="train")
+    make_imagenet_fixture(root, split="val")
+    cfg = ClassificationConfig.from_dict(
+        {
+            "setup": {"experiment_name": "t", "seed": 0},
+            "dataloader": {
+                "batch_size": 2,
+                "num_workers": 0,
+                "compact_batches": True,
+                "train_ds": {"root": str(root), "split": "train"},
+                "val_ds": {"root": str(root), "split": "val"},
+            },
+            "transform": {"out_size": 32},
+            "trainer": {"accelerator": "cpu"},
+        }
+    )
+    dm = cfg.create_datamodule()
+    batch = next(iter(dm.train_dl))
+    assert batch["images"].dtype == np.uint8
+    assert batch["labels"].dtype == np.int32
+
+
 def test_config_rejects_custom_mean_with_compact(coco_root):
     cfg = KeypointsConfig.from_dict(
         {
