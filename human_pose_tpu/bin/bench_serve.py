@@ -8,6 +8,7 @@ tests/test_serving.py).
 
     python -m human_pose_tpu.bin.bench_serve [--concurrency=16] [--requests=8]
         [--input_size=512] [--max_batch=16] [--max_wait_ms=5] [--tiny]
+        [--compact_inputs=true]  # uint8 upload + on-device normalize
 
 Prints one JSON line: {p50_ms, p95_ms, p99_ms, throughput_rps,
 mean_batch_size, ...}.
@@ -32,6 +33,7 @@ def main() -> None:
         {
             "concurrency": 16, "requests": 8, "input_size": 512,
             "max_batch": 16, "max_wait_ms": 5.0, "tiny": False,
+            "compact_inputs": False,
         },
     )
 
@@ -53,7 +55,8 @@ def main() -> None:
         jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False
     )
     im = InferenceKeypointsModel(
-        model, dict(variables), input_size=size, max_num_people=30
+        model, dict(variables), input_size=size, max_num_people=30,
+        compact_inputs=args["compact_inputs"],
     )
     batcher = DynamicBatcher(
         BatchedKeypointsPredictor(im),

@@ -23,9 +23,6 @@ from ..loggers.pylogger import log
 
 def evaluate_split(model, ds, total: int, batch_size: int = 1) -> dict:
     """top-1/top-5 error over ``ds[:total]`` — one device call per batch."""
-    import jax.numpy as jnp
-
-    dtype = getattr(model.model, "dtype", jnp.float32)
     top1_err, top5_err, n = 0, 0, 0
     for start in tqdm(range(0, total, batch_size), desc="ImageNet val"):
         idxs = list(range(start, min(start + batch_size, total)))
@@ -34,7 +31,7 @@ def evaluate_split(model, ds, total: int, batch_size: int = 1) -> dict:
         if len(idxs) < batch_size:  # pad the tail to keep one compile shape
             pad = batch_size - len(idxs)
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
-        probs = np.asarray(model._apply(model.variables, jnp.asarray(xs, dtype)))
+        probs = np.asarray(model._apply(model.variables, model.to_device(xs)))
         top5 = np.argsort(-probs[: len(idxs)], axis=1, kind="stable")[:, :5]
         top1_err += int((top5[:, 0] != labels).sum())
         top5_err += int((top5 != labels[:, None]).all(axis=1).sum())

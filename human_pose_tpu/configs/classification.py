@@ -108,5 +108,7 @@ class ClassificationConfig(BaseConfig):
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), dtype), train=False
             )
         return InferenceClassificationModel(
-            model, dict(variables), labels=labels, input_size=self.inference.input_size
+            model, dict(variables), labels=labels,
+            input_size=self.inference.input_size,
+            compact_inputs=self.inference.compact_inputs,
         )

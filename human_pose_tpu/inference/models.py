@@ -367,17 +367,29 @@ class InferenceSPPEModel:
 
 class InferenceClassificationModel:
     def __init__(self, model, variables: dict, labels: list[str] | None = None,
-                 input_size: int = 224):
+                 input_size: int = 224, compact_inputs: bool = False):
+        """``compact_inputs``: uint8 crop to device, normalize inside the
+        jitted apply (same contract as InferenceKeypointsModel)."""
         self.model = model
         self.variables = variables
         self.labels = labels or [str(i) for i in range(1000)]
-        self.transform = ClassificationTransform(out_size=input_size)
-        self._apply = jax.jit(
-            lambda v, x: jax.nn.softmax(self.model.apply(v, x, train=False), axis=-1)
+        self.transform = ClassificationTransform(
+            out_size=input_size, normalize=not compact_inputs
         )
+        dt = getattr(model, "dtype", jnp.float32)
+        self._apply = jax.jit(
+            lambda v, x: jax.nn.softmax(
+                self.model.apply(v, prep_images(x, dt), train=False), axis=-1
+            )
+        )
+
+    def to_device(self, xs: np.ndarray):
+        """uint8 stays uint8 (normalized on device); floats pre-cast."""
+        if xs.dtype == np.uint8:
+            return jnp.asarray(xs)
+        return jnp.asarray(xs, getattr(self.model, "dtype", jnp.float32))
 
     def __call__(self, raw_image: np.ndarray, target: int | None = None) -> ClassificationResult:
         x = self.transform.inference(raw_image)
-        dtype = getattr(self.model, "dtype", jnp.float32)
-        probs = np.asarray(self._apply(self.variables, jnp.asarray(x[None], dtype))[0])
+        probs = np.asarray(self._apply(self.variables, self.to_device(x[None]))[0])
         return ClassificationResult(image=x, probs=probs, labels=self.labels, target=target)

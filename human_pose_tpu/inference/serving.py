@@ -175,7 +175,6 @@ class BatchedClassificationPredictor:
 
     def predict(self, reqs: list[PreparedClassRequest]) -> list[dict]:
         assert len({r.key for r in reqs}) == 1, "mixed buckets in one batch"
-        dtype = getattr(self.m.model, "dtype", jnp.float32)
         batch = np.concatenate([r.x for r in reqs], axis=0)
         n = batch.shape[0]
         n_pad = 1 << (n - 1).bit_length()  # power-of-two batch buckets
@@ -183,7 +182,7 @@ class BatchedClassificationPredictor:
             batch = np.concatenate(
                 [batch, np.zeros((n_pad - n, *batch.shape[1:]), batch.dtype)]
             )
-        probs = np.asarray(self.m._apply(self.m.variables, jnp.asarray(batch, dtype)))
+        probs = np.asarray(self.m._apply(self.m.variables, self.m.to_device(batch)))
         out = []
         for i in range(n):
             p = probs[i].astype(np.float64)

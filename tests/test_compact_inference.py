@@ -79,6 +79,26 @@ def test_compact_prepare_input_bucket_pad(kpts_model, raw_image):
     assert r.kpts_coords.shape[1:] == (17, 2)
 
 
+def test_classification_compact_inference_parity():
+    """uint8-to-device classification inference == host-normalized path."""
+    from human_pose_tpu.inference import InferenceClassificationModel
+    from human_pose_tpu.models import ClassificationHRNet
+
+    model = ClassificationHRNet(C=8, num_classes=5, **TINY)
+    variables = dict(
+        model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), train=False)
+    )
+    plain = InferenceClassificationModel(model, variables, input_size=32)
+    comp = InferenceClassificationModel(
+        model, variables, input_size=32, compact_inputs=True
+    )
+    img = np.random.RandomState(5).randint(0, 256, (60, 70, 3), np.uint8)
+    r_p = plain(img)
+    r_c = comp(img)
+    assert r_c.image.dtype == np.uint8
+    np.testing.assert_allclose(r_c.probs, r_p.probs, atol=1e-6)
+
+
 def test_compact_eval_matches_plain_and_batched(kpts_model, tmp_path):
     """Through the full eval pipeline: serial(compact) == serial(plain)
     (device normalize == host normalize end-to-end), and batched(compact) ==
