@@ -122,6 +122,10 @@ class SetupConfig:
     # the MLflow FileStore layout (browsable by `mlflow ui`) with no server —
     # the reference requires a live mlflow server (src/logger/loggers.py:266)
     tracker: str = "file"
+    # persistent XLA compilation cache directory: repeated CLI runs (train
+    # restarts, eval sweeps, serving redeploys) reuse compiled executables
+    # instead of paying the cold compile again. None = disabled (jax default)
+    compilation_cache_dir: str | None = None
 
 
 @dataclass
@@ -230,6 +234,16 @@ class BaseConfig:
             import jax
 
             jax.config.update("jax_default_matmul_precision", "highest")
+        if self.setup.compilation_cache_dir:
+            import jax
+
+            # cache even fast-to-compile graphs (the default min entry size /
+            # min compile time thresholds would skip the small decode kernels)
+            jax.config.update(
+                "jax_compilation_cache_dir", str(self.setup.compilation_cache_dir)
+            )
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     def to_dict(self) -> dict:
         return unstructure(self)

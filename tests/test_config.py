@@ -153,3 +153,26 @@ def test_config_driven_training_smoke(tmp_path, monkeypatch):
         {**cfg_dict, "setup": {**cfg_dict["setup"], "ckpt_path": "auto"}}
     )
     assert cfg2.setup.ckpt_path and cfg2.setup.ckpt_path.endswith("last.pt")
+
+
+def test_compilation_cache_dir_wiring(tmp_path):
+    """setup.compilation_cache_dir enables jax's persistent compile cache:
+    a jitted computation leaves an executable entry on disk for the next
+    process to reuse (cold-start elimination for CLI restarts)."""
+    import jax
+    import jax.numpy as jnp
+
+    cache = tmp_path / "xla_cache"
+    KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "t", "compilation_cache_dir": str(cache)}}
+    )
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+
+    @jax.jit
+    def f(x):
+        return x * 2.0 + 1.0
+
+    f(jnp.ones((8, 8))).block_until_ready()
+    assert cache.exists() and any(cache.iterdir())
+    # reset so later tests don't write into the tmp dir
+    jax.config.update("jax_compilation_cache_dir", None)
