@@ -169,6 +169,7 @@ class KeypointsConfig(BaseConfig):
                 dict(variables),
                 det_thr=self.inference.det_thr,
                 input_size=self.inference.input_size,
+                compact_inputs=self.inference.compact_inputs,
             )
         return InferenceKeypointsModel(
             model,

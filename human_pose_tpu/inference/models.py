@@ -319,16 +319,20 @@ class InferenceSPPEModel:
         variables: dict,
         det_thr: float = 0.2,
         input_size: int = 512,
+        compact_inputs: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.det_thr = det_thr
         self.tag_thr = 0.0  # unused; kept for result/CLI interface parity
         self.input_size = input_size
+        # uint8 to device, normalize in the jitted forward (ops/images.py)
+        self.compact_inputs = compact_inputs
         self.model_input_shape: tuple | None = None
 
     @functools.partial(jax.jit, static_argnames=("self", "hw"))
     def _forward_decode(self, variables, x, hw):
+        x = prep_images(x, getattr(self.model, "dtype", jnp.float32))
         out = self.model.apply(variables, x, train=False)
         stages_hms = out[0] if isinstance(out, tuple) else out
         avg = resize_bilinear(average_stages(stages_hms), *hw)
@@ -340,7 +344,10 @@ class InferenceSPPEModel:
         resized, center, scale_wh = resize_align_multi_scale(
             raw_image, self.input_size, 1.0, 1.0
         )
-        x = jnp.asarray(normalize(resized)[None], dtype)
+        if self.compact_inputs:
+            x = jnp.asarray(resized[None])  # uint8; normalized on device
+        else:
+            x = jnp.asarray(normalize(resized)[None], dtype)
         h, w = x.shape[1:3]
         self.model_input_shape = (h, w)
         avg, joints = self._forward_decode(self.variables, x, (h, w))
@@ -351,7 +358,10 @@ class InferenceSPPEModel:
         return InferenceKeypointsResult.from_decoded(
             raw_image=raw_image,
             annot=annot,
-            model_input_image=inverse_normalize(np.asarray(x[0], np.float32)),
+            model_input_image=(
+                np.asarray(x[0]) if x.dtype == jnp.uint8
+                else inverse_normalize(np.asarray(x[0], np.float32))
+            ),
             avg_heatmaps=np.asarray(avg[0]),
             tags_heatmaps=np.zeros((*avg.shape[1:3], avg.shape[-1], 1), np.float32),
             joints=joints,

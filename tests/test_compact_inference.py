@@ -79,6 +79,25 @@ def test_compact_prepare_input_bucket_pad(kpts_model, raw_image):
     assert r.kpts_coords.shape[1:] == (17, 2)
 
 
+def test_sppe_compact_inference_parity(raw_image):
+    """uint8-to-device SPPE inference == host-normalized path (argmax decode
+    is tie-free on a continuous heatmap, so coords are identical)."""
+    from human_pose_tpu.inference.models import InferenceSPPEModel
+    from human_pose_tpu.models import HRNetSPPE
+
+    model = HRNetSPPE(num_keypoints=17, C=8, **TINY)
+    variables = dict(
+        model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    plain = InferenceSPPEModel(model, variables, input_size=64)
+    comp = InferenceSPPEModel(model, variables, input_size=64, compact_inputs=True)
+    r_p = plain(raw_image)
+    r_c = comp(raw_image)
+    np.testing.assert_allclose(r_c.kpts_heatmaps, r_p.kpts_heatmaps, atol=2e-5)
+    np.testing.assert_array_equal(r_c.kpts_coords, r_p.kpts_coords)
+    assert r_c.model_input_image.dtype == np.uint8
+
+
 def test_classification_compact_inference_parity():
     """uint8-to-device classification inference == host-normalized path."""
     from human_pose_tpu.inference import InferenceClassificationModel
