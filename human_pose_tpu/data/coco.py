@@ -226,8 +226,16 @@ class CocoKeypointsDataset:
             # targets (values in [0,1]; the loss upcasts to f32), bool masks
             # (exact — the affine warp binarizes them). ~8.9 -> ~3.6 MB/img
             # of collate memcpy + host->device transfer.
+            if img.dtype != np.uint8:
+                # a float image here would reach the step UN-normalized (the
+                # device prep only normalizes integer dtypes) — fail loud
+                raise ValueError(
+                    f"compact dataset requires a uint8 image from the "
+                    f"transform, got {img.dtype} — build the transform with "
+                    "normalize=False"
+                )
             return (
-                img if img.dtype == np.uint8 else img.astype(np.float32),
+                img,
                 [h.astype(np.float16) for h in heatmaps],
                 [m.astype(bool) for m in mask_list],
                 padded_joints[0],

@@ -17,10 +17,8 @@ from typing import Callable, Sequence
 import cv2
 import numpy as np
 
+from ..constants import IMAGENET_MEAN, IMAGENET_STD
 from .affine import get_aug_affine_matrix
-
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
 
 # reference src/keypoints/transforms.py:11
 COCO_FLIP_INDEX = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
@@ -238,18 +236,26 @@ class ClassificationTransform:
         self.mean, self.std = mean, std
         self.normalize = normalize
 
+    def _passthrough(self, img: np.ndarray) -> np.ndarray:
+        if img.dtype != np.uint8:
+            # the device-side prep passes floats through UN-normalized
+            raise ValueError(
+                f"normalize=False (compact) requires uint8 images, got {img.dtype}"
+            )
+        return img
+
     def train(self, image: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
         if rng is None:
             rng = np.random.default_rng()
         img = random_resized_crop(image, self.out_size, rng)
         if rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
-        return normalize(img, self.mean, self.std) if self.normalize else img
+        return normalize(img, self.mean, self.std) if self.normalize else self._passthrough(img)
 
     def inference(self, image: np.ndarray, rng=None) -> np.ndarray:
         img = resize_short(image, int(self.out_size / 0.875))
         img = center_crop(img, self.out_size)
-        return normalize(img, self.mean, self.std) if self.normalize else img
+        return normalize(img, self.mean, self.std) if self.normalize else self._passthrough(img)
 
     @staticmethod
     def inverse_transform(image: np.ndarray) -> np.ndarray:

@@ -220,7 +220,17 @@ class InferenceKeypointsModel:
         resized, center, scale = resize_align_multi_scale(
             image, self.input_size, current_scale, min_scale
         )
-        x = resized[None] if self.compact_inputs else normalize(resized)[None]
+        if self.compact_inputs:
+            if resized.dtype != np.uint8:
+                # prep_images passes floats through UN-normalized — fail loud
+                # instead of silently feeding raw pixels to the network
+                raise ValueError(
+                    f"compact_inputs requires uint8 images, got {resized.dtype} "
+                    "(float inputs would skip normalization entirely)"
+                )
+            x = resized[None]
+        else:
+            x = normalize(resized)[None]
         if self.pad_multiple > 64:
             m = self.pad_multiple
             h, w = x.shape[1:3]
@@ -345,6 +355,10 @@ class InferenceSPPEModel:
             raw_image, self.input_size, 1.0, 1.0
         )
         if self.compact_inputs:
+            if resized.dtype != np.uint8:
+                raise ValueError(
+                    f"compact_inputs requires uint8 images, got {resized.dtype}"
+                )
             x = jnp.asarray(resized[None])  # uint8; normalized on device
         else:
             x = jnp.asarray(normalize(resized)[None], dtype)

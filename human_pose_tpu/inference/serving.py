@@ -61,7 +61,7 @@ class BatchedKeypointsPredictor:
         # have a different decode path and can't be batch-served by this
         # predictor — fail at construction with a pointed message instead of
         # an AttributeError on the first live request
-        for attr in ("forward_scale", "_decode_aggregated", "prepare_input"):
+        for attr in ("forward_scale", "_decode_aggregated", "prepare_input", "to_device"):
             if not hasattr(infer_model, attr):
                 raise TypeError(
                     f"{type(infer_model).__name__} lacks {attr}; the serving "
@@ -153,7 +153,7 @@ class BatchedClassificationPredictor:
     ``BatchedKeypointsPredictor`` for ``DynamicBatcher``/``make_server``."""
 
     def __init__(self, infer_model, top_k: int = 5):
-        for attr in ("transform", "_apply", "labels"):
+        for attr in ("transform", "_apply", "labels", "to_device"):
             if not hasattr(infer_model, attr):
                 raise TypeError(
                     f"{type(infer_model).__name__} lacks {attr}; expected an "

@@ -11,15 +11,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
-
-# Pad pixel for shape-bucketing zero-pad in the uint8 path: round(mean*255)
-# per channel, i.e. the uint8 value closest to normalized zero (what the
-# fp32 path's zero-padding feeds the network). Off by <0.01 normalized units
-# per channel — the pad>64 bucket path is documented APPROXIMATE already and
-# the decode masks pad-region detections.
-PAD_PIXEL_U8 = (124, 116, 104)
+# Single source of truth shared with the host pipeline (constants.py).
+# PAD_PIXEL_U8 pads shape buckets in the uint8 path — off by <0.01
+# normalized units per channel from the fp32 path's exact zero-padding; the
+# pad>64 bucket path is documented APPROXIMATE already and the decode masks
+# pad-region detections.
+from ..constants import IMAGENET_MEAN, IMAGENET_STD, PAD_PIXEL_U8  # noqa: F401
 
 
 def prep_images(images, out_dtype=None):

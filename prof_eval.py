@@ -48,8 +48,15 @@ class _ShimDataset:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    no_serial = "--no-serial" in sys.argv[1:]
+    args = []
+    no_serial = False
+    for tok in sys.argv[1:]:
+        if tok == "--no-serial":
+            no_serial = True
+        elif tok.startswith("--"):
+            raise SystemExit(f"unknown flag: {tok} (only --no-serial)")
+        else:
+            args.append(tok)
     n = int(args[0]) if args else 32
     batch = int(args[1]) if len(args) > 1 else 16
 

@@ -67,10 +67,14 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown flag: {tok}")
 
-    root = Path("/tmp/prof_loader_coco")
-    if not (root / "annotations" / "person_keypoints_train2017").exists():
+    # cache key includes n; a marker file written only after the prebake
+    # completes prevents latching a partially-built split
+    root = Path(f"/tmp/prof_loader_coco_n{n_images}")
+    marker = root / ".complete"
+    if not marker.exists():
         make_split(root, "train2017", n_images, size=512, seed=0)
         prebake_annotations(str(root), "train2017")
+        marker.touch()
 
     t = KeypointsTransform(
         out_size=512, hm_resolutions=(0.25, 0.5),

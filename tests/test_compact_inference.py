@@ -79,6 +79,24 @@ def test_compact_prepare_input_bucket_pad(kpts_model, raw_image):
     assert r.kpts_coords.shape[1:] == (17, 2)
 
 
+def test_compact_rejects_float_images(kpts_model):
+    """compact_inputs must fail loud on float inputs — the device prep only
+    normalizes integer dtypes, so floats would silently skip normalization."""
+    model, variables = kpts_model
+    comp = InferenceKeypointsModel(
+        model, variables, input_size=128, max_num_people=5, compact_inputs=True
+    )
+    float_img = np.random.RandomState(1).rand(100, 120, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        comp(float_img)
+
+    from human_pose_tpu.data.transforms import ClassificationTransform
+
+    t = ClassificationTransform(out_size=32, normalize=False)
+    with pytest.raises(ValueError, match="uint8"):
+        t.inference(float_img)
+
+
 def test_sppe_compact_inference_parity(raw_image):
     """uint8-to-device SPPE inference == host-normalized path (argmax decode
     is tie-free on a continuous heatmap, so coords are identical)."""
