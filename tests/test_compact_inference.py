@@ -79,6 +79,23 @@ def test_compact_prepare_input_bucket_pad(kpts_model, raw_image):
     assert r.kpts_coords.shape[1:] == (17, 2)
 
 
+def test_compact_pipeline_parallel_parity(kpts_model, raw_image):
+    """compact_inputs + pipeline_devices: the pre-pipeline jitted normalize
+    (models._prep_images_jit) must reproduce the monolithic compact path."""
+    model, variables = kpts_model
+    mono = InferenceKeypointsModel(
+        model, variables, input_size=128, max_num_people=5, compact_inputs=True
+    )
+    piped = InferenceKeypointsModel(
+        model, variables, input_size=128, max_num_people=5, compact_inputs=True,
+        pipeline_devices=2,
+    )
+    r_m = mono(raw_image)
+    r_p = piped(raw_image)
+    np.testing.assert_allclose(r_p.kpts_heatmaps, r_m.kpts_heatmaps, atol=2e-5)
+    np.testing.assert_array_equal(r_p.kpts_coords, r_m.kpts_coords)
+
+
 def test_compact_rejects_float_images(kpts_model):
     """compact_inputs must fail loud on float inputs — the device prep only
     normalizes integer dtypes, so floats would silently skip normalization."""
