@@ -72,6 +72,15 @@ def test_higher_hrnet_shapes_and_params(rng):
     assert n_params(variables["params"]) == 28_645_331
 
 
+def test_higher_hrnet_w48_params(rng):
+    """The wider family member (experiments/keypoints/higher_hrnet_48.yaml):
+    63.8M params, matching the published HigherHRNet-W48 size."""
+    model = HigherHRNet(num_kpts=17, C=48)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.eval_shape(lambda r: model.init(r, x, train=False), rng)
+    assert n_params(variables["params"]) == 63_827_139
+
+
 def test_classification_hrnet_shapes_and_params(rng):
     model = ClassificationHRNet(C=32, num_classes=1000)
     x = jnp.zeros((1, 64, 64, 3))
