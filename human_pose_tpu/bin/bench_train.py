@@ -13,7 +13,7 @@ the reference's training shapes on the local device(s):
 Usage:
 
     python -m human_pose_tpu.bin.bench_train [--task=keypoints|classification]
-        [--batch=N] [--size=N] [--iters=5] [--remat=false|true|0,4]
+        [--batch=N] [--size=N] [--iters=5] [--remat=false|true|0,4] [--C=32]
 
 Measurement: N steps inside ONE jitted fori_loop with the state threading
 through and the batch synthesized on-device per iteration. This matches the
@@ -42,7 +42,10 @@ def main() -> None:
     # (1,4) ran at 58.2 img/s.
     task = "classification" if "--task=classification" in sys.argv[1:] else "keypoints"
     batch, size, iters, remat = (36, 512, 5, False) if task == "keypoints" else (80, 224, 10, False)
+    width = 32
     for tok in sys.argv[1:]:
+        if tok.startswith("--C="):
+            width = int(tok.split("=")[1])
         if tok.startswith("--batch="):
             batch = int(tok.split("=")[1])
         if tok.startswith("--size="):
@@ -65,7 +68,7 @@ def main() -> None:
     )
 
     if task == "keypoints":
-        model = HigherHRNet(num_kpts=17, C=32, remat=remat, dtype=jnp.bfloat16)
+        model = HigherHRNet(num_kpts=17, C=width, remat=remat, dtype=jnp.bfloat16)
         tx = create_optimizer("Adam", lr=1e-3)
     else:
         model = ClassificationHRNet(num_classes=1000, C=32, remat=bool(remat), dtype=jnp.bfloat16)
@@ -132,7 +135,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "train images/sec %s @%d (bs %d, %d devices)" % (
-                    "HigherHRNet-W32" if task == "keypoints" else "ClassificationHRNet-W32",
+                    f"HigherHRNet-W{width}" if task == "keypoints"
+                    else "ClassificationHRNet-W32",
                     size, batch, n_dev),
                 "value": round(batch * iters / dt, 2),
                 "unit": "images/sec",
