@@ -329,6 +329,25 @@ class DynamicBatcher:
         c["mean_latency_ms"] = round(c["latency_ms_sum"] / max(c["requests"], 1), 2)
         return c
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the stats counters (GET /metrics).
+        Counter/gauge naming follows prometheus conventions; scrapers get the
+        same numbers /stats serves as JSON."""
+        s = self.stats()
+        spec = [
+            ("serving_requests_total", "counter", "requests handled", s["requests"]),
+            ("serving_batches_total", "counter", "device batches dispatched", s["batches"]),
+            ("serving_errors_total", "counter", "failed requests", s["errors"]),
+            ("serving_shed_total", "counter", "requests shed after caller timeout", s["shed"]),
+            ("serving_latency_ms_sum", "counter", "summed request latency (ms)", s["latency_ms_sum"]),
+            ("serving_latency_ms_max", "gauge", "max request latency (ms)", s["latency_ms_max"]),
+            ("serving_mean_batch_size", "gauge", "requests per device batch", s["mean_batch_size"]),
+        ]
+        lines = []
+        for name, kind, help_, val in spec:
+            lines += [f"# HELP {name} {help_}", f"# TYPE {name} {kind}", f"{name} {val}"]
+        return "\n".join(lines) + "\n"
+
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
@@ -391,6 +410,15 @@ def make_server(
                 self._send(200, {"status": "ok", "platform": platform})
             elif self.path == "/stats":
                 self._send(200, batcher.stats())
+            elif self.path == "/metrics":
+                body = batcher.metrics_text().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

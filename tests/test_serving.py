@@ -144,6 +144,15 @@ def test_http_server_end_to_end(predictor):
         status, stats = get("/stats")
         assert status == 200 and stats["requests"] >= 1
 
+        # Prometheus exposition mirrors the same counters
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        assert "# TYPE serving_requests_total counter" in text
+        assert f"serving_requests_total {stats['requests']}" in text
+        assert "serving_mean_batch_size" in text
+
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
         )
