@@ -178,6 +178,33 @@ def test_classification_val_step_uint8_matches_float():
     )
 
 
+def test_compact_batch_data_parallel_matches_single_device():
+    """uint8/fp16/bool batches shard over the 8-device mesh like fp32 ones:
+    global-mean metrics match the single-device compact step."""
+    from human_pose_tpu.parallel import make_mesh, replicate, shard_batch
+    from human_pose_tpu.train.steps import keypoints_train_step_body
+
+    assert jax.device_count() >= 8
+    rng_np = np.random.RandomState(7)
+    plain = make_kpts_batch(rng_np, n=8, size=64)
+    compact = {
+        "images": jnp.asarray(
+            (np.asarray(plain["images"]) * 255).astype(np.uint8)
+        ),
+        "heatmaps": [h.astype(jnp.float16) for h in plain["heatmaps"]],
+        "masks": [m.astype(bool) for m in plain["masks"]],
+        "joints": plain["joints"],
+    }
+    state = _make_state(jax.random.PRNGKey(8))
+    _, m1 = keypoints_train_step_body(state, compact, 1e-3)
+
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, _make_state(jax.random.PRNGKey(8)))
+    sharded = jax.tree_util.tree_map(lambda x: shard_batch(mesh, x), compact)
+    _, m8 = keypoints_train_step_body(state8, sharded, 1e-3)
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+
+
 def test_classification_config_wires_compact(tmp_path):
     from human_pose_tpu.configs.classification import ClassificationConfig
     from tests.test_data import make_imagenet_fixture
