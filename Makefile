@@ -22,6 +22,11 @@ test:
 bench:
 	python bench.py
 
+# end-to-end on one real chip: full W32 train CLI -> batched eval CLI,
+# compact transfer paths on (~15-25 min, mostly XLA compiles)
+tpu-smoke:
+	python scripts/tpu_smoke.py
+
 bench_train:
 	python -m human_pose_tpu.bin.bench_train
 
