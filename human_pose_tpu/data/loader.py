@@ -78,10 +78,26 @@ class DataLoader:
             order = np.arange(n)
         # shard across processes (DistributedSampler equivalent): pad to a
         # multiple so every process sees the same number of batches; cycle
-        # the permutation so shards stay equal even when n < process_count
+        # the permutation so shards stay equal even when n < process_count.
+        # Sharding is BLOCK-per-global-batch, not interleaved: process p takes
+        # the p-th contiguous slice of every global batch of the canonical
+        # (seed, epoch) stream, so the global batch assembled by
+        # local_batch_to_global is IDENTICAL (same samples, same order) to
+        # what a single process feeding the same mesh would build — the
+        # global batch stream is invariant to process topology, which torch's
+        # interleaved DistributedSampler (reference datamodule.py:68-89) does
+        # not guarantee.
         total = -(-n // self.process_count) * self.process_count
         padded = np.tile(order, -(-total // n))[:total]
-        return padded[self.process_index :: self.process_count]
+        if self.process_count == 1:
+            return padded
+        gb = self.batch_size * self.process_count
+        out = []
+        for pos in range(0, total, gb):
+            chunk = padded[pos : pos + gb]  # tail chunk stays P-divisible
+            lb = len(chunk) // self.process_count
+            out.append(chunk[self.process_index * lb : (self.process_index + 1) * lb])
+        return np.concatenate(out)
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())

@@ -5,6 +5,7 @@ from .mesh import (
     local_batch_to_global,
     make_mesh,
     replicate,
+    replicate_global,
     replicated,
     shard_batch,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "local_batch_to_global",
     "make_mesh",
     "replicate",
+    "replicate_global",
     "replicated",
     "shard_batch",
     "SPACE_AXIS",

@@ -77,6 +77,21 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def replicate_global(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a host-local pytree (e.g. a freshly initialized TrainState)
+    over every device of the mesh, multi-host safe.
+
+    Multi-process jit requires explicitly-global inputs; auto-replication of
+    uncommitted arrays only works single-process. Every process must hold the
+    same values (same-seed init — reference loads/initializes identically per
+    rank before DDP broadcast, src/base/model.py:45-48)."""
+    if jax.process_count() == 1:
+        return replicate(mesh, tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
+
+
 def local_batch_to_global(mesh: Mesh, tree: Any) -> Any:
     """Multi-host: assemble per-process local batches into global arrays
     (counterpart of DistributedSampler per-rank sharding)."""

@@ -23,6 +23,13 @@ from .visualization import plot_metrics, plot_system_monitoring
 
 
 class BaseCallback:
+    #: run this callback on the primary process only (reference gates all
+    #: callbacks to rank 0, callbacks.py:78-82). Callbacks that trigger
+    #: COLLECTIVE work — e.g. checkpoint saves, which under the orbax backend
+    #: write array shards from every host and barrier — must set this False
+    #: or the primary deadlocks waiting for peers that never make the call.
+    main_process_only = True
+
     def on_fit_start(self, trainer) -> None: ...
     def on_epoch_start(self, trainer) -> None: ...
     def on_epoch_end(self, trainer) -> None: ...
@@ -39,7 +46,13 @@ class Callbacks:
     """Rank-0-gated dispatcher (reference callbacks.py:77-124)."""
 
     def __init__(self, callbacks: list[BaseCallback]):
-        self.callbacks = callbacks if is_main_process() else []
+        if is_main_process():
+            self.callbacks = callbacks
+        else:
+            # non-primary processes keep only collective-participating
+            # callbacks (checkpoint saves are all-process under orbax and
+            # barrier under flax — trainer.save_checkpoint gates the writes)
+            self.callbacks = [cb for cb in callbacks if not cb.main_process_only]
 
     def __getattr__(self, hook: str):
         if not hook.startswith("on_"):
@@ -72,7 +85,14 @@ class Callbacks:
 
 class SaveModelCheckpoint(BaseCallback):
     """best.pt (min/max of a monitored metric) + last.pt each epoch
-    (reference callbacks.py:155-217)."""
+    (reference callbacks.py:155-217).
+
+    Runs on EVERY process: the monitored value comes from replicated metrics
+    (identical across processes), so all processes reach the same improved/
+    last decisions and jointly enter trainer.save_checkpoint — required
+    because the orbax save is collective and the flax save barriers."""
+
+    main_process_only = False
 
     def __init__(self, name: str = "best", monitor: str = "loss", split: str = "val",
                  mode: str = "min", save_last: bool = True):
@@ -91,9 +111,10 @@ class SaveModelCheckpoint(BaseCallback):
             if improved:
                 self.best = float(value)
                 trainer.save_checkpoint(trainer.ckpt_dir / f"{self.name}.pt")
-                log.info(
-                    f"new best {self.split}/{self.monitor}={value:.5g} -> {self.name}.pt"
-                )
+                if is_main_process():
+                    log.info(
+                        f"new best {self.split}/{self.monitor}={value:.5g} -> {self.name}.pt"
+                    )
         if self.save_last:
             trainer.save_checkpoint(trainer.ckpt_dir / "last.pt")
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import init_classification_weights, init_keypoints_weights
-from ..parallel import shard_batch
+from ..parallel import local_batch_to_global
 from .optim import LRScheduler, create_lr_scheduler, create_optimizer
 from .state import TrainState
 from .steps import (
@@ -85,6 +85,12 @@ class BaseModule:
         state = TrainState.create(
             model.apply, params, variables.get("batch_stats"), tx
         )
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: jit needs explicitly-global (replicated) state;
+            # single-process keeps the auto-replication fast path
+            from ..parallel import replicate_global
+
+            state = replicate_global(mesh, state)
         schedulers = {}
         for key, sch in (lr_schedulers_cfg or {}).items():
             schedulers[key] = create_lr_scheduler(
@@ -143,7 +149,11 @@ class BaseModule:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.numpy.copy(x) if isinstance(x, jax.Array) else x, batch
             )
-            return shard_batch(self.mesh, batch)
+            # multi-host: the loader yields this process's LOCAL shard
+            # (data/loader.py process_index/process_count); assemble the
+            # global sharded batch from per-process locals. Single-process
+            # this is exactly shard_batch.
+            return local_batch_to_global(self.mesh, batch)
         return jax.tree_util.tree_map(_to_device, batch)
 
     # -- steps (overridden) ----------------------------------------------------

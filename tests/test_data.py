@@ -365,6 +365,34 @@ def test_loader_shards_smaller_than_process_count():
     assert lens == {1}
 
 
+def test_loader_global_batch_stream_is_topology_invariant():
+    """Block-per-global-batch sharding: assembling the per-process step-k
+    batches in process order must reproduce the single-process step-k batch
+    exactly (samples AND order) for any process count — the property the
+    2-process equivalence pin in tests/test_multiprocess.py relies on
+    (torch's interleaved DistributedSampler does not guarantee this)."""
+    ds = _ArrayDataset(24)
+    for P, b in [(2, 4), (4, 2), (2, 3), (3, 2), (8, 1)]:
+        canon = DataLoader(ds, batch_size=P * b, collate_fn=np.stack,
+                           shuffle=True, drop_last=False, seed=5)
+        shards = [
+            DataLoader(ds, batch_size=b, collate_fn=np.stack, shuffle=True,
+                       drop_last=False, seed=5, process_index=p,
+                       process_count=P)
+            for p in range(P)
+        ]
+        for epoch in range(2):
+            canon.set_epoch(epoch)
+            for dl in shards:
+                dl.set_epoch(epoch)
+            canon_batches = list(canon)
+            shard_batches = [list(dl) for dl in shards]
+            assert all(len(sb) == len(canon_batches) for sb in shard_batches)
+            for k, cb in enumerate(canon_batches):
+                assembled = np.concatenate([sb[k] for sb in shard_batches])
+                np.testing.assert_array_equal(assembled, cb)
+
+
 def test_mosaic_mask_parity_with_reference(coco_root):
     """Mosaic crowd-mask parity (reference coco.py:300-370): the reference
     builds the mosaic mask by resizing the pre-baked crowd mask with
