@@ -30,11 +30,7 @@ def train(cfg_dict: dict, ConfigClass) -> None:
         f"(arch={cfg.setup.architecture}, mesh={mesh.shape if mesh else None})"
     )
     datamodule = cfg.create_datamodule()
-    module = cfg.create_module(mesh=mesh)
-    if mesh is not None:
-        from ..parallel import replicate
-
-        module.state = replicate(mesh, module.state)
+    module = cfg.create_module(mesh=mesh)  # create() places state on the mesh
     trainer = cfg.create_trainer()
     try:
         trainer.fit(

@@ -85,9 +85,12 @@ class BaseModule:
         state = TrainState.create(
             model.apply, params, variables.get("batch_stats"), tx
         )
-        if mesh is not None and jax.process_count() > 1:
-            # multi-host: jit needs explicitly-global (replicated) state;
-            # single-process keeps the auto-replication fast path
+        if mesh is not None:
+            # place the freshly initialized state on the mesh: single-process
+            # this is a plain replicating device_put; multi-host it builds
+            # the explicitly-global arrays jit requires (every process holds
+            # the same same-seed values, mirroring the reference's identical
+            # per-rank init before the DDP broadcast, src/base/model.py:45-48)
             from ..parallel import replicate_global
 
             state = replicate_global(mesh, state)

@@ -13,6 +13,8 @@ import random
 import traceback
 from pathlib import Path
 
+import jax
+
 from tqdm.auto import tqdm
 
 from ..loggers.loggers import Loggers, Status
@@ -169,7 +171,16 @@ class Trainer:
             if pending is not None:
                 meters.update(metrics_to_host(pending))
             pending = metrics
-            if i == plot_batch and hasattr(self.module, "make_results"):
+            if (
+                i == plot_batch
+                and hasattr(self.module, "make_results")
+                and jax.process_count() == 1
+                # multi-process: `batch` is this process's LOCAL samples but
+                # `outputs` are global sharded arrays — indices don't line up
+                # and non-addressable shards can't be fetched; plots are
+                # cosmetic, skip them (reference plots on rank 0 from rank-0
+                # data, callbacks.py:220-245)
+            ):
                 try:
                     self.val_results = self.module.make_results(batch, outputs)
                 except Exception as e:
