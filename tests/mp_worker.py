@@ -105,9 +105,35 @@ def main() -> None:
     )
     logger = Loggers([TerminalLogger(run_dir), FileTrackerLogger(run_dir)], run_dir)
     callbacks = [MetricsLogger(), SaveModelCheckpoint(monitor="loss", split="val", mode="min")]
+
+    crash_at = os.environ.get("HP_CRASH_AT_EPOCH_END")
+    if crash_at is not None:
+        # fault injection (tests/test_multiprocess.py): simulate a preemption
+        # by SIGKILLing THIS process right after the epoch-N checkpoint save
+        # (appended after SaveModelCheckpoint, so the save has completed).
+        # SIGKILL is uncatchable — no finalizers, no orderly teardown, exactly
+        # what a TPU-VM preemption looks like.
+        import signal
+
+        from human_pose_tpu.train.callbacks import BaseCallback
+
+        class _CrashAtEpochEnd(BaseCallback):
+            main_process_only = False
+
+            def __init__(self, epoch: int):
+                self.epoch = epoch
+
+            def on_epoch_end(self, trainer) -> None:
+                if trainer.current_epoch == self.epoch:
+                    os.kill(os.getpid(), signal.SIGKILL)
+
+        callbacks.append(_CrashAtEpochEnd(int(crash_at)))
     trainer = Trainer(
         logger, callbacks, max_epochs=max_epochs, log_path=run_dir,
-        ckpt_backend="orbax",
+        # orbax = the collective multi-host backend; HP_CKPT_BACKEND=flax lets
+        # the fault-injection test exercise the single-process default path
+        # (async writer + atomic tmp+replace)
+        ckpt_backend=os.environ.get("HP_CKPT_BACKEND", "orbax"),
     )
     ckpt = run_dir / "checkpoints" / "last.pt" if resume else None
     trainer.fit(module, dm, ckpt_path=ckpt)

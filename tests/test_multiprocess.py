@@ -54,7 +54,7 @@ def _env() -> dict:
 
 
 def _launch_once(nprocs: int, port: int, out: Path, local_devices: int,
-                 max_epochs: int, resume: bool) -> list:
+                 max_epochs: int, resume: bool, extra_env: dict | None = None) -> list:
     procs = []
     for pid in range(nprocs):
         args = [sys.executable, str(WORKER), str(pid), str(nprocs), str(port),
@@ -62,7 +62,7 @@ def _launch_once(nprocs: int, port: int, out: Path, local_devices: int,
         if resume:
             args.append("resume")
         procs.append(subprocess.Popen(
-            args, env=_env(), cwd=REPO,
+            args, env={**_env(), **(extra_env or {})}, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
     outputs = []
@@ -78,8 +78,10 @@ def _launch_once(nprocs: int, port: int, out: Path, local_devices: int,
 
 
 def _launch(nprocs: int, port: int, out: Path, local_devices: int,
-            max_epochs: int, resume: bool = False) -> None:
-    outputs = _launch_once(nprocs, port, out, local_devices, max_epochs, resume)
+            max_epochs: int, resume: bool = False,
+            extra_env: dict | None = None) -> None:
+    outputs = _launch_once(nprocs, port, out, local_devices, max_epochs,
+                           resume, extra_env)
     # the gloo context handshake has a hardcoded 30 s key-exchange deadline;
     # under heavy host contention (xdist workers compiling concurrently on
     # this 1-core box) one process can miss it — an environment flake, not a
@@ -88,7 +90,7 @@ def _launch(nprocs: int, port: int, out: Path, local_devices: int,
         "Gloo context initialization failed" in s for _, s in outputs
     ):
         outputs = _launch_once(nprocs, _free_port(), out, local_devices,
-                               max_epochs, resume)
+                               max_epochs, resume, extra_env)
     for rc, stdout in outputs:
         assert rc == 0, f"worker failed (rc={rc}):\n{stdout[-4000:]}"
 
@@ -137,7 +139,7 @@ def test_two_process_training_matches_single_process(tmp_path):
         err_msg="final parameters diverged across process topologies",
     )
 
-    # -- multi-process resume: orbax load + one more epoch --------------------
+    # -- multi-process resume: orbax load + one more epoch -------------------
     _launch(2, _free_port(), mp_dir, local_devices=2, max_epochs=3, resume=True)
     r0b, r1b = _results(mp_dir, 2)
     assert r0b["steps"] == 6  # resumed at step 4, trained epoch 2 (2 steps)
@@ -145,3 +147,37 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert r0b["train_losses"] == r1b["train_losses"]
     # training continued from the trained state, not from scratch
     assert r0b["train_losses"][-1] < r0["train_losses"][0]
+
+
+@pytest.mark.slow
+def test_sigkill_preemption_resume(tmp_path):
+    """Fault injection (SURVEY §5.3 — the reference has none): SIGKILL the
+    training process right after the epoch-1 checkpoint save (uncatchable, no
+    teardown — a TPU-VM preemption), then rerun pointing at last.pt. The
+    atomic tmp+replace checkpoint write (train/checkpoint.py) and the
+    full-state resume must carry the run to FINISHED with correct epoch/step
+    accounting."""
+    out = tmp_path / "crash"
+    out.mkdir()
+    env = _env()
+    env["HP_CRASH_AT_EPOCH_END"] = "1"
+    env["HP_CKPT_BACKEND"] = "flax"  # single-process default backend
+    p = subprocess.Popen(
+        [sys.executable, str(WORKER), "0", "1", "0", str(out), "2", "3"],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    stdout, _ = p.communicate(timeout=1200)
+    assert p.returncode == -9, f"expected SIGKILL death, rc={p.returncode}:\n{stdout[-2000:]}"
+    assert not (out / "result_0.json").exists()  # died before finishing
+    ckpt = out / "run" / "checkpoints" / "last.pt"
+    assert ckpt.exists(), "epoch-1 checkpoint missing after the kill"
+
+    # resume: same config, 3 epochs total -> trains exactly epoch 2
+    _launch(1, 0, out, local_devices=2, max_epochs=3, resume=True,
+            extra_env={"HP_CKPT_BACKEND": "flax"})
+    (r,) = _results(out, 1)
+    assert r["start_epoch_after_resume"] == 2
+    assert r["steps"] == 6  # 4 steps (epochs 0-1) restored + 2 trained
+    assert len(r["train_losses"]) == 3  # storage restored epochs 0-1 + new 2
+    assert r["train_losses"][-1] < r["train_losses"][0]
