@@ -19,6 +19,19 @@ save_coco_annots:
 test:
 	python -m pytest tests/ -q
 
+# decode-critical fast subset (~3 min warm): grouping + Hungarian + metrics +
+# golden param counts + driver entries + e2e decode->AP
+test-critical:
+	python -m pytest tests/test_grouping.py tests/test_hungarian.py \
+	  tests/test_metrics.py tests/test_models.py tests/test_graft_entry.py \
+	  tests/test_e2e_decode_eval.py -q
+
+# rerun only last-run failures, serially (-n 0 disables xdist): recovers the
+# documented XLA:CPU worker-segfault flake, where a crashed worker reports its
+# in-flight tests as failed even though they pass standalone (CLAUDE.md)
+test-refailed:
+	python -m pytest tests/ -q --lf -n 0
+
 bench:
 	python bench.py
 
