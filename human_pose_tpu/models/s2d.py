@@ -48,14 +48,29 @@ Dtype = Any
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """[N, H, W, C] -> [N, H/2, W/2, 4C], phase-major (a, b, c) channels."""
+    """[N, H, W, C] -> [N, H/2, W/2, 4C], phase-major (a, b, c) channels.
+
+    Implemented as strided slices + concat (not reshape-transpose-reshape):
+    value-identical, but SPMD-partitions correctly when H is sharded over a
+    ``space`` mesh axis — the reshape-transpose form of THIS direction (pack)
+    triggers a GSPMD wrong-result bug under H sharding (jax 0.9.0, isolated
+    per-direction on the 8-device CPU mesh; the transpose form of
+    depth_to_space below is unaffected). See parallel/spatial.py.
+
+    Only H (the sharded dim) needs the slice form; W packs via a local
+    reshape — [w, c] -> [w/2, 2c] is already (b, c)-minor-major, so each row
+    phase a contributes channels (b, c) and the a-major concat yields the
+    phase-major (a, b, c) order with no transpose anywhere."""
     n, h, w, c = x.shape
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+    rows = [
+        x[:, a::2].reshape(n, h // 2, w // 2, 2 * c) for a in (0, 1)
+    ]
+    return jnp.concatenate(rows, axis=-1)
 
 
 def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of space_to_depth."""
+    """Inverse of space_to_depth (reshape-transpose form — correct under
+    H sharding, unlike the pack direction; see space_to_depth)."""
     n, h, w, c4 = x.shape
     c = c4 // 4
     x = x.reshape(n, h, w, 2, 2, c)

@@ -12,7 +12,6 @@ from .mesh import (
 from .distributed import setup_distributed, finalize_distributed
 from .spatial import (
     SPACE_AXIS,
-    assert_spatial_safe,
     make_mesh_2d,
     shard_batch_spatial,
     spatial_sharding,
@@ -37,7 +36,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "SPACE_AXIS",
-    "assert_spatial_safe",
     "make_mesh_2d",
     "shard_batch_spatial",
     "spatial_sharding",

@@ -20,15 +20,15 @@ windows and cross-shard reductions for BatchNorm moments automatically
 (global-batch BN semantics are unchanged: moments reduce over N, H and W
 regardless of which of those dims is sharded).
 
-KNOWN QUARANTINE — s2d packed layout: the space-to-depth compute layout
-(models/s2d.py, model flag ``s2d=True``, the single-chip default) MISCOMPILES
-under spatial sharding on jax 0.9.0: the SPMD-partitioned program returns
-wrong values (max abs err ~1.9 on unit-scale heatmaps) even though every op
-in the packed graph is value-preserving and the same graph is exact under
-pure data sharding. Until the upstream partitioner bug is fixed, construct
-models with ``s2d=False`` for spatially-sharded execution;
-``assert_spatial_safe`` guards this and ``tests/test_spatial.py`` pins both
-the plain-layout parity and the quarantine.
+RESOLVED GSPMD BUG — s2d packed layout: the reshape-transpose-reshape form of
+space_to_depth miscompiled under H ("space") sharding on jax 0.9.0 (wrong
+values, max abs err ~1.9 on unit-scale heatmaps, while the same graph was
+exact under pure data sharding; isolated per-direction — depth_to_space's
+transpose form is unaffected). Worked around by lowering the pack as strided
+slices + concat (models/s2d.py) — value-identical single-device (pinned by
+the s2d exact-parity tests) and correctly partitioned under spatial sharding
+(pinned by tests/test_spatial.py s2d parity tests). The packed layout now
+composes with every mesh axis; no quarantine remains.
 """
 
 from __future__ import annotations
@@ -86,15 +86,3 @@ def shard_batch_spatial(mesh: Mesh, tree: Any) -> Any:
         return jax.device_put(x, dp if no_space else sp)
 
     return jax.tree_util.tree_map_with_path(place, tree)
-
-
-def assert_spatial_safe(model) -> None:
-    """Reject model configs known to miscompile under spatial sharding (see
-    module docstring: the s2d packed layout trips an XLA SPMD partitioner
-    bug). Call before jitting a spatially-sharded step."""
-    if getattr(model, "s2d", False):
-        raise ValueError(
-            "s2d packed layout is quarantined under spatial sharding (XLA "
-            "SPMD partitioner miscompile, jax 0.9.0) — construct the model "
-            "with s2d=False for space-sharded execution"
-        )

@@ -23,7 +23,8 @@ Composition: the ``model`` axis combines freely with ``data`` (batch) and
 ``space`` (image rows, parallel/spatial.py) — ``make_mesh_3d(d, s, t)``
 builds the full 3-D mesh; any axis may be 1. The s2d packed compute layout
 is exact under tensor sharding (loss parity pinned in tests/test_tensor.py)
-— only the SPATIAL axis quarantines it (see parallel/spatial.py).
+and under spatial sharding (tests/test_spatial.py; see parallel/spatial.py
+for the lowering that made the spatial case correct).
 
 Sharding rule (``tensor_spec``): a leaf shards its LAST dim over ``model``
 iff that dim is divisible by the axis size — conv kernels [kh,kw,Cin,Cout]

@@ -7,9 +7,11 @@ activations with automatic halo exchange. These tests pin
 
 * exact forward parity of the plain (s2d=False) layout under a (data, space)
   mesh vs the single-device program,
-* training-step loss parity under spatial sharding vs pure data sharding,
-* the quarantine of the s2d packed layout (known XLA partitioner miscompile,
-  see parallel/spatial.py docstring), and
+* forward parity of the s2d packed layout under the same mesh (the
+  reshape-transpose lowering of this layout used to MISCOMPILE here — the
+  strided-slice lowering in models/s2d.py is the fix; see parallel/spatial.py),
+* training-step loss parity under spatial sharding vs pure data sharding
+  (both layouts), and
 * batch-placement rules (joints/labels never shard over space).
 """
 
@@ -22,7 +24,6 @@ from human_pose_tpu.models import HigherHRNet
 from human_pose_tpu.parallel import make_mesh, replicate, shard_batch
 from human_pose_tpu.parallel.spatial import (
     SPACE_AXIS,
-    assert_spatial_safe,
     make_mesh_2d,
     shard_batch_spatial,
     spatial_sharding,
@@ -84,12 +85,14 @@ def test_shard_batch_spatial_placement():
     )
 
 
-def test_forward_parity_spatial_vs_single_device():
-    """Plain-layout HigherHRNet forward under a 4x2 (data, space) mesh is
-    numerically identical to the unsharded program — GSPMD inserts the 3x3 /
-    stride-2 halo exchanges and the BN/global reductions itself, with no
-    model changes."""
-    model = HigherHRNet(s2d=False, **TINY)
+@pytest.mark.parametrize("s2d", [False, True], ids=["plain", "s2d"])
+def test_forward_parity_spatial_vs_single_device(s2d):
+    """HigherHRNet forward under a 4x2 (data, space) mesh matches the
+    unsharded program — GSPMD inserts the 3x3 / stride-2 halo exchanges and
+    the BN/global reductions itself, with no model changes. The s2d case
+    exercises the strided-slice pack/unpack lowering (the reshape-transpose
+    form returned max|err| ~1.9 here on jax 0.9.0 — parallel/spatial.py)."""
+    model = HigherHRNet(s2d=s2d, **TINY)
     x = _tiny_batch()["images"]
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]), train=False)
 
@@ -108,15 +111,18 @@ def test_forward_parity_spatial_vs_single_device():
         np.testing.assert_allclose(o, r, rtol=0, atol=1e-5)
 
 
-def test_train_step_spatial_matches_data_parallel():
+@pytest.mark.parametrize("s2d", [False, True], ids=["plain", "s2d"])
+def test_train_step_spatial_matches_data_parallel(s2d):
     """One keypoints training step on the 4x2 mesh with a spatially-sharded
     batch produces the same loss/metrics as the same step under pure 8-way
-    data sharding (both reduce over the same global batch)."""
+    data sharding (both reduce over the same global batch) — in both compute
+    layouts (the s2d case covers gradients + BN moment reductions through the
+    strided-slice pack/unpack under H sharding)."""
     from human_pose_tpu.train import (
         TrainState, create_optimizer, keypoints_train_step,
     )
 
-    model = HigherHRNet(s2d=False, **TINY)
+    model = HigherHRNet(s2d=s2d, **TINY)
     batch = _tiny_batch()
     # keep the init tree on host: the train step donates its state, and a
     # replicated device_put can alias the original device-0 buffer — the
@@ -142,7 +148,3 @@ def test_train_step_spatial_matches_data_parallel():
         np.testing.assert_allclose(m_sp[k], m_dp[k], rtol=1e-5, err_msg=k)
 
 
-def test_s2d_quarantined_under_spatial():
-    assert_spatial_safe(HigherHRNet(s2d=False, **TINY))  # ok
-    with pytest.raises(ValueError, match="quarantine"):
-        assert_spatial_safe(HigherHRNet(s2d=True, **TINY))
