@@ -10,15 +10,24 @@ vs_baseline: the reference publishes no throughput (BASELINE.md). REF_FPS
 below is a fixed bookkeeping constant (estimated torch reference throughput,
 single consumer GPU @300W, fwd+CPU Munkres decode) so rounds are comparable;
 the 5x north-star target corresponds to vs_baseline >= 5.
+
+Capture robustness (round-4, after BENCH_r03 timed out at rc=124 with no
+number): a persistent XLA compilation cache at ./.xla_cache (pre-populated
+during the round by `make bench`) turns the multi-minute cold Mosaic/XLA
+compile through the axon tunnel into a seconds-long cache load; heartbeat
+lines with timestamps make any residual stall diagnosable from the driver's
+captured tail; and the TPU-availability retry window is bounded at 300 s so
+a tunnel outage fails fast instead of silently eating the driver budget.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+from pathlib import Path
 
-import jax
-import jax.numpy as jnp
+CACHE_DIR = Path(__file__).resolve().parent / ".xla_cache"
 
 REF_FPS = 25.0  # fixed assumption for round-over-round comparability
 
@@ -26,12 +35,34 @@ REF_FPS = 25.0  # fixed assumption for round-over-round comparability
 # 225/263/276/276 img/s (serving-throughput metric; per-batch latency is
 # batch/throughput)
 BATCH = 24
-WARMUP = 3
 ITERS = 10
 SIZE = 512
 
 
+def hb(msg: str) -> None:
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (same knobs as
+    human_pose_tpu.configs.base setup.compilation_cache_dir): cache every
+    entry regardless of size/compile time so the decode kernels land too."""
+    import jax
+
+    CACHE_DIR.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    enable_compile_cache()
+    hb(f"compile cache at {CACHE_DIR} "
+       f"({len(list(CACHE_DIR.glob('*')))} entries)")
+
     from human_pose_tpu.models import HigherHRNet
     from human_pose_tpu.ops import decode_batch
 
@@ -61,7 +92,10 @@ def main() -> None:
             return acc + scores.sum()
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
+    hb(f"compiling + warmup (bs={BATCH}, iters={ITERS}, {SIZE}x{SIZE}) ...")
+    t0 = time.perf_counter()
     acc = float(many(variables, images))  # compile + warmup
+    hb(f"compile+warmup done in {time.perf_counter() - t0:.1f}s")
     assert acc == acc  # no NaN
     t0 = time.perf_counter()
     acc = float(many(variables, images))
@@ -80,17 +114,19 @@ def main() -> None:
     )
 
 
-def wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 150.0) -> bool:
+def wait_for_tpu(max_wait_s: float = 300.0, probe_timeout_s: float = 120.0) -> bool:
     """The axon TPU tunnel has multi-hour outages where backend init either
     hangs or raises UNAVAILABLE (CLAUDE.md). Probe in a SUBPROCESS (a hung
     in-process init can't be retried) and retry within a bounded window so a
-    transient blip doesn't fail the benchmark run outright."""
+    transient blip doesn't fail the benchmark run outright. The window is
+    short (300 s): a real outage should fail fast with a diagnosable message
+    rather than burn the driver's capture budget (BENCH_r03 lesson)."""
     import subprocess
     import sys
 
     deadline = time.time() + max_wait_s
-    first = True
     while True:
+        hb("probing TPU backend ...")
         try:
             rc = subprocess.run(
                 [sys.executable, "-c",
@@ -100,17 +136,16 @@ def wait_for_tpu(max_wait_s: float = 900.0, probe_timeout_s: float = 150.0) -> b
         except subprocess.TimeoutExpired:
             rc = -1
         if rc == 0:
+            hb("TPU backend up")
             return True
         if time.time() > deadline:
             return False
-        if first:
-            print("# TPU backend unavailable; retrying for up to "
-                  f"{max_wait_s:.0f}s", flush=True)
-            first = False
-        time.sleep(30)
+        hb(f"TPU backend unavailable (rc={rc}); retrying "
+           f"(window ends in {deadline - time.time():.0f}s)")
+        time.sleep(20)
 
 
 if __name__ == "__main__":
-    if not wait_for_tpu():
+    if os.environ.get("HP_BENCH_SKIP_PROBE") != "1" and not wait_for_tpu():
         raise SystemExit("TPU backend unavailable after bounded retry window")
     main()
