@@ -16,7 +16,8 @@ imagenet:
 save_coco_annots:
 	python scripts/save_coco_annots.py
 
-test:
+# native is implicit: human_pose_tpu.data.native auto-builds on first import
+test: native
 	python -m pytest tests/ -q
 
 # decode-critical fast subset (~3 min warm): grouping + Hungarian + metrics +
