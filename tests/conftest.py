@@ -19,3 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free live compiled executables between test files.
+
+    The suite accumulates hundreds of jitted programs per xdist worker;
+    letting them all stay live could deterministically segfault XLA:CPU's
+    compiler late in the run (round-3: 'worker segfaulted inside an XLA
+    compile in test_trainer', tests passing standalone). Clearing the
+    tracing/compilation caches after each module bounds the per-process
+    compiled-program population instead of relying on a serial rerun recipe.
+    """
+    yield
+    jax.clear_caches()
