@@ -311,3 +311,121 @@ def variables_to_torch(variables: dict) -> dict[str, np.ndarray]:
     if "batch_stats" in variables:
         _walk(variables["batch_stats"], visit_stats)
     return out
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet -> models.resnet.ResNet (SimpleBaseline backbone)
+# ---------------------------------------------------------------------------
+
+def resnet_variables_from_torchvision(
+    state_dict: Mapping[str, Any],
+) -> dict[str, dict]:
+    """Convert a torchvision-format ResNet ``state_dict`` (the weights the
+    reference's SimpleBaseline pulls via ``torch.hub``,
+    /root/reference/src/keypoints/architectures/simple_baseline.py:17) into a
+    flax variable tree for ``models.resnet.ResNet``.
+
+    Handles every torchvision ResNet variant (resnet18..152): ``conv1``/
+    ``bn1`` stem, ``layer{1-4}.{i}.conv{j}/bn{j}`` residual units,
+    ``layer{L}.{i}.downsample.{0,1}`` projection shortcuts, and the ``fc``
+    classifier head (mapped for ``num_classes > 0`` models; ignore it by
+    loading only the subtree you need). ``num_batches_tracked`` is dropped.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree: dict, path: tuple[str, ...], leaf: str, value: np.ndarray):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf] = value
+
+    def bn(dst_path: tuple[str, ...], src_prefix: str, leaf: str, v: np.ndarray):
+        if leaf == "weight":
+            put(params, dst_path, "scale", v)
+        elif leaf == "bias":
+            put(params, dst_path, "bias", v)
+        elif leaf == "running_mean":
+            put(stats, dst_path, "mean", v)
+        elif leaf == "running_var":
+            put(stats, dst_path, "var", v)
+        elif leaf != "num_batches_tracked":
+            raise KeyError(f"unrecognized BN leaf {src_prefix}.{leaf}")
+
+    for key, raw in state_dict.items():
+        v = np.asarray(raw)
+        parts = key.split(".")
+        if parts[0] == "conv1":
+            put(params, ("conv1",), "kernel", v.transpose(2, 3, 1, 0))
+        elif parts[0] == "bn1":
+            bn(("bn1",), "bn1", parts[1], v)
+        elif parts[0] == "fc":
+            put(params, ("fc",), "kernel" if parts[1] == "weight" else "bias",
+                v.T if parts[1] == "weight" else v)
+        elif parts[0].startswith("layer"):
+            layer, i = parts[0], f"b{parts[1]}"
+            child = parts[2]
+            if child.startswith("conv"):
+                put(params, (layer, i, f"cb{child[4:]}", "conv"), "kernel",
+                    v.transpose(2, 3, 1, 0))
+            elif child.startswith("bn"):
+                bn((layer, i, f"cb{child[2:]}", "bn"), key, parts[3], v)
+            elif child == "downsample":  # Sequential(conv, bn) -> .0 / .1
+                if parts[3] == "0":
+                    put(params, (layer, i, "down", "conv"), "kernel",
+                        v.transpose(2, 3, 1, 0))
+                else:
+                    bn((layer, i, "down", "bn"), key, parts[4], v)
+            else:
+                raise KeyError(f"unrecognized torchvision key {key}")
+        else:
+            raise KeyError(f"unrecognized torchvision key {key}")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torchvision_backbone(variables: dict, state_dict: Mapping[str, Any],
+                              module: str = "backbone") -> dict:
+    """Return a copy of SimpleBaseline ``variables`` with the ResNet
+    ``module`` subtree replaced by converted torchvision weights (shape-checked
+    against the initialized tree; the ``fc`` head, absent from the pose
+    backbone, is ignored). Counterpart of the reference's pretrained-backbone
+    construction (simple_baseline.py:17 ``resnet(..., pretrained=True)``)."""
+    import jax
+
+    conv = resnet_variables_from_torchvision(state_dict)
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-ish copy
+    for col in ("params", "batch_stats"):
+        src = dict(conv[col])
+        src.pop("fc", None)
+        dst = out[col][module]
+        src_leaves = jax.tree_util.tree_leaves_with_path(src)
+        dst_paths = {
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(dst)
+        }
+        for p, leaf in src_leaves:
+            if jax.tree_util.keystr(p) not in dst_paths:
+                raise KeyError(f"torchvision leaf {jax.tree_util.keystr(p)} "
+                               f"not in {module} {col} tree")
+        missing = dst_paths - {jax.tree_util.keystr(p) for p, _ in src_leaves}
+        if missing:
+            raise KeyError(f"{module} {col} leaves missing from torchvision "
+                           f"state_dict: {sorted(missing)[:8]}")
+
+        def merge(d, s):
+            for k, sv in s.items():
+                dv = d[k]
+                if isinstance(sv, dict):
+                    merge(dv, sv)
+                else:
+                    if tuple(dv.shape) != tuple(sv.shape):
+                        raise ValueError(
+                            f"shape mismatch at {k}: {dv.shape} vs {sv.shape}"
+                        )
+                    d[k] = np.asarray(sv, dtype=np.asarray(dv).dtype)
+
+        dst = {k: v for k, v in dst.items()}
+        merge(dst, src)
+        out[col] = dict(out[col])
+        out[col][module] = dst
+    return out

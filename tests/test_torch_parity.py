@@ -255,3 +255,97 @@ def test_load_reference_pt_checkpoint_end_to_end(ref, tmp_path):
     got = np.asarray(loaded["backbone"]["stem1"]["conv"]["kernel"])
     want = net.state_dict()["backbone.conv1.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, want)
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet backbone weights -> SimpleBaseline (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+def _ref_resnet(variant: str):
+    """Instantiate the reference's torchvision-style ResNet (the same
+    architecture torch.hub serves to the reference's SimpleBaseline,
+    src/keypoints/architectures/simple_baseline.py:17); its state_dict keys
+    match torchvision's exactly (conv1/bn1/layer{1-4}.{i}.conv{j}/downsample/fc)."""
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import src.base.architectures.backbones.resnet as rn
+
+    block, layers = {
+        "resnet18": (rn.BasicBlock, [2, 2, 2, 2]),
+        "resnet50": (rn.Bottleneck, [3, 4, 6, 3]),
+    }[variant]
+    return rn.ResNet(block, layers, num_classes=1000)
+
+
+@pytest.mark.parametrize("variant", ["resnet18", "resnet50"])
+def test_torchvision_resnet_backbone_forward_parity(variant):
+    """Converted torchvision-format weights reproduce the torch backbone's
+    feature map (stem + layer1..4, the part SimpleBaseline consumes)."""
+    from human_pose_tpu.models.resnet import ResNet
+    from human_pose_tpu.utils.torch_interop import (
+        resnet_variables_from_torchvision,
+    )
+
+    net = _ref_resnet(variant).eval()
+    randomize_(net, seed=11)
+    x_t = torch.randn(1, 3, 32, 32, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        f = net.maxpool(net.relu(net.bn1(net.conv1(x_t))))
+        for layer in (net.layer1, net.layer2, net.layer3, net.layer4):
+            f = layer(f)
+
+    conv = resnet_variables_from_torchvision(
+        {k: v.numpy() for k, v in net.state_dict().items()}
+    )
+    conv["params"].pop("fc")
+    model = ResNet(variant)
+    out = model.apply(conv, np.transpose(x_t.numpy(), (0, 2, 3, 1)), train=False)
+    ft = f.numpy().transpose(0, 2, 3, 1)
+    assert out.shape == ft.shape
+    assert max_rel_err(np.asarray(out), ft) < 2e-4
+
+
+def test_simple_baseline_loads_torchvision_backbone():
+    """End-to-end closure of the reference's pretrained-backbone path: a
+    torchvision-format resnet50 state_dict loads into SimpleBaseline's
+    backbone subtree (shape-checked, fc ignored) and changes the forward."""
+    import jax
+
+    from human_pose_tpu.models.simple_baseline import SimpleBaseline
+    from human_pose_tpu.utils.torch_interop import load_torchvision_backbone
+
+    net = _ref_resnet("resnet50").eval()
+    randomize_(net, seed=12)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+
+    model = SimpleBaseline(num_kpts=17, backbone="resnet50")
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    loaded = load_torchvision_backbone(variables, sd)
+
+    # backbone leaves actually replaced; head leaves untouched
+    before = jax.tree_util.tree_leaves(variables["params"]["backbone"])
+    after = jax.tree_util.tree_leaves(loaded["params"]["backbone"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+               for a, b in zip(after, before))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["final"]["kernel"]),
+        np.asarray(variables["params"]["final"]["kernel"]),
+    )
+    # converted backbone reproduces the torch features through SimpleBaseline
+    with torch.no_grad():
+        x_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        f = net.maxpool(net.relu(net.bn1(net.conv1(x_t))))
+        for layer in (net.layer1, net.layer2, net.layer3, net.layer4):
+            f = layer(f)
+    hms = model.apply(loaded, x, train=False)[0]
+    assert hms.shape == (1, 16, 16, 17)
+    # and the backbone subtree alone matches torch numerically
+    from human_pose_tpu.models.resnet import ResNet
+
+    bb = {
+        "params": loaded["params"]["backbone"],
+        "batch_stats": loaded["batch_stats"]["backbone"],
+    }
+    out_bb = ResNet("resnet50").apply(bb, x, train=False)
+    assert max_rel_err(np.asarray(out_bb), f.numpy().transpose(0, 2, 3, 1)) < 2e-4
