@@ -178,6 +178,14 @@ class InferenceConfig:
     # (ops/images.py). Exact at pad_multiple=64; bucket padding uses the
     # nearest-uint8 pad pixel (the pad>64 path is approximate either way)
     compact_inputs: bool = False
+    # eval/inference shape-bucket size (keypoints AE models): 64 = exact
+    # reference 64-multiple alignment, one jit compile per distinct shape;
+    # larger values zero-pad into coarser buckets (decode masks the pad) —
+    # far fewer compiles, slightly approximate near image borders. "auto"
+    # picks the bucket-analysis optimum (scripts/bucket_analysis.py,
+    # docs/performance.md): 64 when the persistent compile cache is warm,
+    # 128 on a cold cache (compiles dominate a cold varied-shape eval)
+    pad_multiple: int | str = "auto"
 
 
 @dataclass
@@ -247,6 +255,27 @@ class BaseConfig:
 
     def to_dict(self) -> dict:
         return unstructure(self)
+
+    def resolved_pad_multiple(self) -> int:
+        """Resolve ``inference.pad_multiple`` ("auto" -> the bucket-analysis
+        optimum: 64 when the persistent XLA compile cache is warm — the
+        varied-shape compiles are already paid — else 128, where fewer, fatter
+        buckets beat a cold compile storm; scripts/bucket_analysis.py)."""
+        pm = self.inference.pad_multiple
+        if isinstance(pm, str):
+            if pm != "auto":
+                raise ValueError(
+                    f"inference.pad_multiple must be an int or 'auto', got {pm!r}"
+                )
+            cache = self.setup.compilation_cache_dir
+            warm = bool(cache) and Path(cache).is_dir() and any(Path(cache).iterdir())
+            pm = 64 if warm else 128
+            log.info(
+                f"inference.pad_multiple=auto -> {pm} (persistent compile cache "
+                f"{'warm' if warm else 'cold/absent'}; pass "
+                f"--inference.pad_multiple=64 for exact reference 64-alignment)"
+            )
+        return int(pm)
 
     # -- runtime helpers --------------------------------------------------------
     def initialize_logging(self) -> None:

@@ -178,6 +178,7 @@ class KeypointsConfig(BaseConfig):
             tag_thr=self.inference.tag_thr,
             use_flip=self.inference.use_flip,
             input_size=self.inference.input_size,
+            pad_multiple=self.resolved_pad_multiple(),
             scales=tuple(self.inference.scales or (1.0,)),
             pipeline_devices=self.inference.pipeline_devices,
             compact_inputs=self.inference.compact_inputs,

@@ -176,3 +176,39 @@ def test_compilation_cache_dir_wiring(tmp_path):
     assert cache.exists() and any(cache.iterdir())
     # reset so later tests don't write into the tmp dir
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_pad_multiple_auto_resolution(tmp_path):
+    """inference.pad_multiple='auto' picks 128 on a cold/absent compile cache
+    and 64 once the cache has entries (docs/performance.md optimum); explicit
+    ints pass through; junk strings are rejected."""
+    cfg = KeypointsConfig.from_dict({"setup": {"experiment_name": "t"}})
+    assert cfg.inference.pad_multiple == "auto"
+    assert cfg.resolved_pad_multiple() == 128  # no cache configured -> cold
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    cfg = KeypointsConfig.from_dict(
+        {"setup": {"experiment_name": "t", "compilation_cache_dir": str(cache)}}
+    )
+    try:
+        assert cfg.resolved_pad_multiple() == 128  # empty dir is still cold
+        (cache / "entry").write_bytes(b"x")
+        assert cfg.resolved_pad_multiple() == 64  # warm
+
+        cfg = KeypointsConfig.from_dict(
+            {"setup": {"experiment_name": "t"},
+             "inference": {"pad_multiple": 256}}
+        )
+        assert cfg.resolved_pad_multiple() == 256
+
+        cfg = KeypointsConfig.from_dict(
+            {"setup": {"experiment_name": "t"},
+             "inference": {"pad_multiple": "huge"}}
+        )
+        with pytest.raises(ValueError):
+            cfg.resolved_pad_multiple()
+    finally:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
