@@ -70,17 +70,25 @@ def timed(pack, unpack, x, w):
 
 
 def main():
+    # the SHIPPED lowering (models/s2d.py): H via strided slices, W via a
+    # local [w,c]->[w/2,2c] reshape on the pack; reshape-transpose unpack
+    from human_pose_tpu.models.s2d import depth_to_space as d2s_shipped
+    from human_pose_tpu.models.s2d import space_to_depth as s2d_shipped
+
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (B, H, W, C), jnp.bfloat16)
     w = jax.random.normal(rng, (3, 3, 4 * C, 4 * C), jnp.bfloat16) * 0.05
     # cross-check values agree between lowerings
     a = d2s_transpose(s2d_transpose(x.astype(jnp.float32)))
     b = d2s_slice(s2d_slice(x.astype(jnp.float32)))
+    c = d2s_shipped(s2d_shipped(x.astype(jnp.float32)))
     assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    assert float(jnp.max(jnp.abs(a - c))) == 0.0
     for name, pack, unpack in [
         ("transpose", s2d_transpose, d2s_transpose),
         ("slice", s2d_slice, d2s_slice),
         ("slice_pack_transpose_unpack", s2d_slice, d2s_transpose),
+        ("shipped_hslice_wreshape_pack", s2d_shipped, d2s_shipped),
     ]:
         ms = timed(pack, unpack, x, w)
         print(json.dumps({"lowering": name, "ms_per_img": round(ms, 4)}), flush=True)

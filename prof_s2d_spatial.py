@@ -1,9 +1,9 @@
 """Repro/verification harness for the s2d-under-spatial-sharding GSPMD bug.
 
 Compares the s2d=True HigherHRNet forward on a (data, space) CPU mesh against
-the unsharded program (see parallel/spatial.py quarantine note). Exit code 0 +
-max|err| ~1e-6 means the miscompile is gone (or worked around); large error
-reproduces the quarantined bug.
+the unsharded program (see the RESOLVED GSPMD-bug note in
+parallel/spatial.py). Exit code 0 + max|err| ~1e-6 confirms the slice-lowered
+pack composes with H sharding; large error would mean the miscompile is back.
 """
 
 import os
