@@ -316,7 +316,12 @@ def refine_batch(kpts_hms, tags_hms, grouped_joints):
         tags_flat = tags_hms.reshape(b, k, h * w, -1)  # [B, K, HW, E]
 
         def per_person(tf, hf, prev):  # [K,HW,E], [K,HW], [E] -> [K]
-            d = jnp.sqrt(jnp.sum((tf - prev[None, None, :]) ** 2, axis=-1))
+            if tf.shape[-1] == 1:
+                # single embedding dim: |d| exactly (the sqrt(d*d) form is a
+                # 1-ulp approximation of it); matches the Pallas kernel
+                d = jnp.abs(tf[..., 0] - prev[None, None, 0])
+            else:
+                d = jnp.sqrt(jnp.sum((tf - prev[None, None, :]) ** 2, axis=-1))
             return jnp.argmax(hf - jnp.round(d), axis=1)
 
         flat_idx = jax.vmap(
@@ -352,6 +357,144 @@ def _use_pallas(h: int, w: int) -> bool:
     return jax.default_backend() == "tpu" and (h * w) % 128 == 0
 
 
+def group_from_candidates(
+    tags_k: jnp.ndarray,
+    coords_k: jnp.ndarray,
+    scores_k: jnp.ndarray,
+    *,
+    det_thr: float,
+    tag_thr: float,
+    use_pallas: bool,
+):
+    """AE grouping + fallback person from per-joint top-k candidates
+    (the decode middle shared by the dense and fused front-ends).
+
+    tags_k [B,K,M,E], coords_k [B,K,M,2] int (x,y), scores_k [B,K,M] ->
+    (grouped [B,M,K,3+E], valid [B,M]).
+    """
+    b, k, m, e = tags_k.shape
+    if use_pallas:
+        from .pallas_match import match_by_tag_pallas_batched
+
+        cand = jnp.concatenate(
+            [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
+        )  # [B, K, M, 3+E]
+        order = joints_order_for(k)
+        cand_ordered = cand[:, jnp.asarray(order)]
+        # unroll=4: measured on v5e (prof_match.py) dense worst case
+        # 1.45 -> 1.11 ms/img, sparse neutral (0.36); exactness pinned by
+        # tests/test_pallas_match.py KERNELS.
+        grouped, count = match_by_tag_pallas_batched(
+            cand_ordered, det_thr=det_thr, tag_thr=tag_thr,
+            joints_order=tuple(order), num_persons=m, unroll=4,
+        )
+        valid = jnp.arange(m)[None, :] < count[:, None]
+    else:
+        order = joints_order_for(k)
+        grouped, valid = jax.vmap(
+            lambda t, c, s: match_by_tag(t, c, s, det_thr, tag_thr, order)
+        )(tags_k, coords_k, scores_k)
+
+    # fallback: no grouped persons -> single best-per-joint person with
+    # score 0.01 (reference grouping.py:262-269)
+    fb_coords = coords_k[:, :, 0].astype(jnp.float32)  # [B, K, 2]
+    fb_tags = tags_k[:, :, 0]  # [B, K, E]
+    fb_score = jnp.full((b, k, 1), 0.01, jnp.float32)
+    fb_person = jnp.concatenate([fb_coords, fb_score, fb_tags], axis=-1)  # [B,K,F]
+    fb_joints = jnp.zeros_like(grouped).at[:, 0].set(fb_person)
+    fb_valid = jnp.zeros_like(valid).at[:, 0].set(True)
+    need_fb = ~valid.any(axis=1)  # [B]
+    grouped = jnp.where(need_fb[:, None, None, None], fb_joints, grouped)
+    valid = jnp.where(need_fb[:, None], fb_valid, valid)
+    return grouped, valid
+
+
+def adjust_phase(grouped_joints: jnp.ndarray, avg_phase: jnp.ndarray) -> jnp.ndarray:
+    """``adjust`` reading a phase-layout heatmap (fused decode front-end);
+    identical decisions and arithmetic, only the gather indexing differs."""
+    from .pallas_aggregate import phase_gather
+
+    p, k, _ = grouped_joints.shape
+    h4, w4 = avg_phase.shape[-2:]
+    h, w = 4 * h4, 4 * w4
+    x = grouped_joints[..., 0]
+    y = grouped_joints[..., 1]
+    score = grouped_joints[..., 2]
+    xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    kk = jnp.broadcast_to(jnp.arange(k)[None, :], (p, k))
+
+    right = phase_gather(avg_phase, kk, yi, jnp.minimum(xi + 1, w - 1))
+    left = phase_gather(avg_phase, kk, yi, jnp.maximum(xi - 1, 0))
+    down = phase_gather(avg_phase, kk, jnp.minimum(yi + 1, h - 1), xi)
+    up = phase_gather(avg_phase, kk, jnp.maximum(yi - 1, 0), xi)
+
+    new_x = x + jnp.where(right > left, 0.25, -0.25) + 0.5
+    new_y = y + jnp.where(down > up, 0.25, -0.25) + 0.5
+    keep = score == 0.0
+    out = grouped_joints.at[..., 0].set(jnp.where(keep, x, new_x))
+    out = out.at[..., 1].set(jnp.where(keep, y, new_y))
+    return out
+
+
+def refine_batch_phase(avg_phase, tags_lo, grouped_joints, interpret: bool = False):
+    """``refine_batch`` for the fused decode front-end: heatmaps in phase
+    layout, tag maps at quarter resolution (upsampled on the fly — both in
+    the Pallas argmax kernel and in the two-tap candidate sampling)."""
+    from .pallas_aggregate import (
+        phase_gather,
+        refine_argmax_phase_batch,
+        sample_tags_bilinear,
+    )
+
+    b, p_cap, k, _ = grouped_joints.shape
+    h4, w4 = avg_phase.shape[-2:]
+    h, w = 4 * h4, 4 * w4
+
+    score = grouped_joints[..., 2]  # [B, P, K]
+    det = score > 0.0
+    xi = jnp.clip(grouped_joints[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(grouped_joints[..., 1].astype(jnp.int32), 0, h - 1)
+    # sample at integer joint coords of the virtual upsampled tag map
+    ys_km = jnp.swapaxes(yi, 1, 2).reshape(b, k, p_cap)
+    xs_km = jnp.swapaxes(xi, 1, 2).reshape(b, k, p_cap)
+    det_tags = jax.vmap(
+        lambda tl, ys, xs: sample_tags_bilinear(tl, ys, xs, h, w)
+    )(tags_lo, ys_km, xs_km)  # [B, K, P, E]
+    det_tags = jnp.swapaxes(det_tags, 1, 2)  # [B, P, K, E]
+    n_det = jnp.maximum(det.sum(axis=2), 1.0)  # [B, P]
+    prev_tag = (
+        jnp.sum(jnp.where(det[..., None], det_tags, 0.0), axis=2) / n_det[..., None]
+    )  # [B, P, E]
+
+    idx_bkp, _ = refine_argmax_phase_batch(avg_phase, tags_lo, prev_tag, interpret)
+    flat_idx = jnp.transpose(idx_bkp, (0, 2, 1))  # [B, P, K]
+
+    bb = jnp.arange(b)[:, None, None]
+    kk = jnp.broadcast_to(jnp.arange(k)[None, None, :], (b, p_cap, k))
+    fy = (flat_idx // w).astype(jnp.int32)
+    fx = (flat_idx % w).astype(jnp.int32)
+
+    def g(ys, xs):
+        return jax.vmap(phase_gather)(avg_phase, kk, ys, xs)
+
+    val = g(fy, fx)
+    right = g(fy, jnp.minimum(fx + 1, w - 1))
+    left = g(fy, jnp.maximum(fx - 1, 0))
+    down = g(jnp.minimum(fy + 1, h - 1), fx)
+    up = g(jnp.maximum(fy - 1, 0), fx)
+    new_x = fx.astype(jnp.float32) + 0.5 + jnp.where(right > left, 0.25, -0.25)
+    new_y = fy.astype(jnp.float32) + 0.5 + jnp.where(down > up, 0.25, -0.25)
+
+    replace = (val > 0.0) & (score == 0.0) & (det.sum(axis=2, keepdims=True) > 0)
+    out = grouped_joints.at[..., 0].set(
+        jnp.where(replace, new_x, grouped_joints[..., 0])
+    )
+    out = out.at[..., 1].set(jnp.where(replace, new_y, grouped_joints[..., 1]))
+    out = out.at[..., 2].set(jnp.where(replace, val, grouped_joints[..., 2]))
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_num_people", "det_thr", "tag_thr", "do_adjust", "do_refine")
 )
@@ -385,39 +528,10 @@ def parse_batch(
         lambda kh, th: top_k(kh, th, m)
     )(kpts_hms, tags_hms)  # [B,K,M,E], [B,K,M,2], [B,K,M]
 
-    if _use_pallas(h, w):
-        from .pallas_match import match_by_tag_pallas_batched
-
-        cand = jnp.concatenate(
-            [coords_k.astype(jnp.float32), scores_k[..., None], tags_k], axis=-1
-        )  # [B, K, M, 3+E]
-        order = joints_order_for(k)
-        cand_ordered = cand[:, jnp.asarray(order)]
-        # unroll=4: measured on v5e (prof_match.py) dense worst case
-        # 1.45 -> 1.11 ms/img, sparse neutral (0.36); exactness pinned by
-        # tests/test_pallas_match.py KERNELS.
-        grouped, count = match_by_tag_pallas_batched(
-            cand_ordered, det_thr=det_thr, tag_thr=tag_thr,
-            joints_order=tuple(order), num_persons=m, unroll=4,
-        )
-        valid = jnp.arange(m)[None, :] < count[:, None]
-    else:
-        order = joints_order_for(k)
-        grouped, valid = jax.vmap(
-            lambda t, c, s: match_by_tag(t, c, s, det_thr, tag_thr, order)
-        )(tags_k, coords_k, scores_k)
-
-    # fallback: no grouped persons -> single best-per-joint person with
-    # score 0.01 (reference grouping.py:262-269)
-    fb_coords = coords_k[:, :, 0].astype(jnp.float32)  # [B, K, 2]
-    fb_tags = tags_k[:, :, 0]  # [B, K, E]
-    fb_score = jnp.full((b, k, 1), 0.01, jnp.float32)
-    fb_person = jnp.concatenate([fb_coords, fb_score, fb_tags], axis=-1)  # [B,K,F]
-    fb_joints = jnp.zeros_like(grouped).at[:, 0].set(fb_person)
-    fb_valid = jnp.zeros_like(valid).at[:, 0].set(True)
-    need_fb = ~valid.any(axis=1)  # [B]
-    grouped = jnp.where(need_fb[:, None, None, None], fb_joints, grouped)
-    valid = jnp.where(need_fb[:, None], fb_valid, valid)
+    grouped, valid = group_from_candidates(
+        tags_k, coords_k, scores_k,
+        det_thr=det_thr, tag_thr=tag_thr, use_pallas=_use_pallas(h, w),
+    )
 
     if do_adjust:
         grouped = jax.vmap(adjust)(grouped, kpts_hms)

@@ -33,7 +33,7 @@ def _pick_row_tile(rows: int) -> int:
     return 1
 
 
-def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR):
+def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, *, P, E, HW, TR):
     rows = HW // LANES
     T = rows // TR
     prev = prev_ref[0]  # [P, E]
@@ -41,46 +41,41 @@ def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, val_ref, *, P, E, HW, TR
 
     best_diff = jnp.full((P, LANES), neg_inf, jnp.float32)
     best_row = jnp.zeros((P, LANES), jnp.int32)
-    best_hm = jnp.zeros((P, LANES), jnp.float32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, TR, LANES), 1)
 
     def tile_body(t, carry):
-        best_diff, best_row, best_hm = carry
+        best_diff, best_row = carry
         hm_t = hm_ref[0, 0, pl.ds(t * TR, TR), :]  # [TR, LANES]
-        acc = jnp.zeros((P, TR, LANES), jnp.float32)
-        for e in range(E):  # static tiny loop
-            tg = tags_ref[0, 0, e, pl.ds(t * TR, TR), :]
-            d = tg[None, :, :] - prev[:, e][:, None, None]
-            acc = acc + d * d
-        diff = hm_t[None] - jnp.round(jnp.sqrt(acc))  # [P, TR, LANES]
+        if E == 1:
+            # single embedding dim: ||d|| = |d| — no square/sqrt needed
+            tg = tags_ref[0, 0, 0, pl.ds(t * TR, TR), :]
+            dist = jnp.abs(tg[None, :, :] - prev[:, 0][:, None, None])
+        else:
+            acc = jnp.zeros((P, TR, LANES), jnp.float32)
+            for e in range(E):  # static tiny loop
+                tg = tags_ref[0, 0, e, pl.ds(t * TR, TR), :]
+                d = tg[None, :, :] - prev[:, e][:, None, None]
+                acc = acc + d * d
+            dist = jnp.sqrt(acc)
+        diff = hm_t[None] - jnp.round(dist)  # [P, TR, LANES]
         tmax = jnp.max(diff, axis=1)  # [P, LANES]
         # first row attaining the per-lane max
         trow = jnp.min(
             jnp.where(diff == tmax[:, None, :], row_iota, TR), axis=1
         )  # [P, LANES]
-        thm = jnp.max(
-            jnp.where(row_iota == trow[:, None, :], hm_t[None], neg_inf), axis=1
-        )  # [P, LANES]
         better = tmax > best_diff  # strict: earlier tile wins ties
         best_row = jnp.where(better, trow + t * TR, best_row)
-        best_hm = jnp.where(better, thm, best_hm)
         best_diff = jnp.where(better, tmax, best_diff)
-        return best_diff, best_row, best_hm
+        return best_diff, best_row
 
-    best_diff, best_row, best_hm = jax.lax.fori_loop(
-        0, T, tile_body, (best_diff, best_row, best_hm)
-    )
+    best_diff, best_row = jax.lax.fori_loop(0, T, tile_body, (best_diff, best_row))
 
     # resolve across lanes: smallest linear index among global maxima
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
     lin = best_row * LANES + lane_iota
     m = jnp.max(best_diff, axis=1, keepdims=True)  # [P, 1]
     idx = jnp.min(jnp.where(best_diff == m, lin, HW), axis=1)  # [P]
-    val = jnp.max(
-        jnp.where(lin == idx[:, None], best_hm, neg_inf), axis=1
-    )  # [P]
     idx_ref[0, 0, 0, :] = idx
-    val_ref[0, 0, 0, :] = val
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -122,7 +117,7 @@ def refine_argmax_batch(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, i
     hm4 = hm.reshape(b, k, rows, LANES)
     tags5 = tags.reshape(b, k, e, rows, LANES)
     kernel = functools.partial(_refine_kernel, P=p, E=e, HW=hw, TR=tr)
-    idx, val = pl.pallas_call(
+    idx = pl.pallas_call(
         kernel,
         grid=(b, k),
         in_specs=[
@@ -130,14 +125,13 @@ def refine_argmax_batch(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, i
             pl.BlockSpec((1, 1, e, rows, LANES), lambda bi, ki: (bi, ki, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, e), lambda bi, ki: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k, 1, p), jnp.int32),
-            jax.ShapeDtypeStruct((b, k, 1, p), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, 1, p), jnp.int32),
         interpret=interpret,
     )(hm4, tags5, prev)
-    return idx[:, :, 0, :], val[:, :, 0, :]
+    idx = idx[:, :, 0, :]
+    # the heatmap value at the argmax: cheap XLA gather (the kernel used to
+    # extract it in-VMEM, costing two extra passes per tile for a value the
+    # refine caller re-gathers anyway)
+    val = jnp.take_along_axis(hm, idx, axis=2)
+    return idx, val

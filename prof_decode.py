@@ -63,12 +63,20 @@ def main(scene: str = "dense"):
         nz_t = jax.random.normal(rngs[2], (BATCH, hq, hq, K))
 
     def prep(i):
+        # mirrors ops/decode.decode_batch: transpose at source res, then
+        # channel-major resize (bit-exact vs the NHWC-then-transpose form)
         jit = jnp.float32(i) * 1e-6
-        avg = average_stages([nz_q + jit, nz_h + jit])
-        avg = resize_bilinear(avg, SIZE, SIZE)
-        tags = jnp.stack([resize_bilinear(nz_t + jit, SIZE, SIZE)], axis=-1)
-        kpts = jnp.transpose(avg, (0, 3, 1, 2))
-        tgs = jnp.transpose(tags, (0, 3, 1, 2, 4))
+        qk = jnp.transpose(nz_q + jit, (0, 3, 1, 2))
+        hk = jnp.transpose(nz_h + jit, (0, 3, 1, 2))
+        kpts = resize_bilinear(
+            average_stages([qk, hk], channel_major=True), SIZE, SIZE,
+            channel_major=True,
+        )
+        tgs = jnp.stack(
+            [resize_bilinear(jnp.transpose(nz_t + jit, (0, 3, 1, 2)),
+                             SIZE, SIZE, channel_major=True)],
+            axis=-1,
+        )
         return kpts, tgs
 
     def s_resize(i, *a):

@@ -104,3 +104,33 @@ def test_sppe_parse_oracle():
             assert out[n, 0, k, 1] == idx // 9
             assert out[n, 0, k, 2] == flat[idx]
     assert (out[0, 0, 0, :2] == (2, 3)).all()  # the tie resolved row-major-first
+
+
+def test_channel_major_resize_bitexact():
+    """The decode path relayouts NHWC->NKHW at the SOURCE resolution and
+    resizes channel-major (ops/decode.py) — per-channel bilinear resize
+    commutes with the transpose bit-exactly (same taps/weights/accumulation
+    per output element), so the layout optimization cannot shift decode."""
+    import numpy as np
+
+    from human_pose_tpu.ops.heatmaps import average_stages, resize_bilinear
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.rand(2, 16, 16, 17).astype(np.float32))
+    h2 = jnp.asarray(rs.rand(2, 32, 32, 17).astype(np.float32))
+    t = jnp.asarray(rs.rand(2, 16, 16, 17).astype(np.float32))
+
+    avg_old = resize_bilinear(average_stages([q, h2]), 64, 64)
+    kpts_old = jnp.transpose(avg_old, (0, 3, 1, 2))
+    tags_old = jnp.transpose(jnp.stack([resize_bilinear(t, 64, 64)], -1), (0, 3, 1, 2, 4))
+
+    qk, hk = (jnp.transpose(x, (0, 3, 1, 2)) for x in (q, h2))
+    kpts_new = resize_bilinear(
+        average_stages([qk, hk], channel_major=True), 64, 64, channel_major=True
+    )
+    tags_new = jnp.stack(
+        [resize_bilinear(jnp.transpose(t, (0, 3, 1, 2)), 64, 64, channel_major=True)],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(kpts_old), np.asarray(kpts_new))
+    np.testing.assert_array_equal(np.asarray(tags_old), np.asarray(tags_new))
