@@ -283,10 +283,13 @@ def adjust(grouped_joints: jnp.ndarray, kpts_hms: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def refine_batch(kpts_hms, tags_hms, grouped_joints):
+def refine_batch(kpts_hms, tags_hms, grouped_joints, counts=None):
     """Batched refine (reference grouping.py:193-250, vectorized).
 
-    kpts_hms [B, K, H, W], tags_hms [B, K, H, W, E], grouped [B, P, K, 3+E].
+    kpts_hms [B, K, H, W], tags_hms [B, K, H, W, E], grouped [B, P, K, 3+E],
+    counts optional [B] int32 grouped-person counts (lets the kernel skip
+    person chunks past each image's count — ungrouped persons' argmaxes are
+    never consumed).
     On TPU the per-person distance-surface argmax runs as a Pallas kernel
     (one HBM read of the maps total); elsewhere a vmapped XLA formulation."""
     b, p_cap, k, _ = grouped_joints.shape
@@ -310,7 +313,7 @@ def refine_batch(kpts_hms, tags_hms, grouped_joints):
         from .pallas_decode import refine_argmax_batch
 
         tags_kehw = jnp.transpose(tags_hms, (0, 1, 4, 2, 3)).reshape(b, k, -1, h * w)
-        idx_bkp, _ = refine_argmax_batch(hm_flat, tags_kehw, prev_tag)
+        idx_bkp, _ = refine_argmax_batch(hm_flat, tags_kehw, prev_tag, counts)
         flat_idx = jnp.transpose(idx_bkp, (0, 2, 1))  # [B, P, K]
     else:
         tags_flat = tags_hms.reshape(b, k, h * w, -1)  # [B, K, HW, E]
@@ -537,7 +540,8 @@ def parse_batch(
         grouped = jax.vmap(adjust)(grouped, kpts_hms)
     person_scores = grouped[..., 2].mean(axis=2)
     if do_refine:
-        grouped = refine_batch(kpts_hms, tags_hms, grouped)
+        grouped = refine_batch(kpts_hms, tags_hms, grouped,
+                               counts=valid.sum(axis=1).astype(jnp.int32))
     return grouped, person_scores, valid
 
 

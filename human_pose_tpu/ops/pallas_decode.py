@@ -33,10 +33,33 @@ def _pick_row_tile(rows: int) -> int:
     return 1
 
 
-def _refine_kernel(hm_ref, tags_ref, prev_ref, idx_ref, *, P, E, HW, TR):
+def _refine_kernel(cnt_ref, hm_ref, tags_ref, prev_ref, idx_ref, *, P, E, HW, TR):
+    """One person-CHUNK of the refine argmax (grid = (b, k, person_chunk)).
+
+    The grouped person count is usually far below the static cap (GT-like
+    scenes group ~6 of 30): chunks whose first person index is past this
+    image's count skip the P x HW distance scan entirely (the refine caller
+    masks those persons out anyway — their scores are 0 and they have no
+    detected joints, so their argmax is never consumed)."""
     rows = HW // LANES
     T = rows // TR
-    prev = prev_ref[0]  # [P, E]
+    ci = pl.program_id(2)
+    count = cnt_ref[0, 0]
+    prev = prev_ref[0]  # [P, E] (chunk slice)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    @pl.when(ci * P >= count)
+    def _skip():
+        idx_ref[0, 0, 0, :] = jnp.zeros((P,), jnp.int32)
+
+    @pl.when(ci * P < count)
+    def _run():
+        _refine_chunk(hm_ref, tags_ref, prev, idx_ref, P=P, E=E, HW=HW, TR=TR)
+
+
+def _refine_chunk(hm_ref, tags_ref, prev, idx_ref, *, P, E, HW, TR):
+    rows = HW // LANES
+    T = rows // TR
     neg_inf = jnp.float32(-jnp.inf)
 
     best_diff = jnp.full((P, LANES), neg_inf, jnp.float32)
@@ -95,14 +118,27 @@ def refine_argmax(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpr
     return idx[0], val[0]
 
 
+PERSON_CHUNK = 8
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def refine_argmax_batch(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, interpret: bool = False):
-    """Batched refine argmax, batch and joint dims on the kernel grid.
+def refine_argmax_batch(
+    hm: jnp.ndarray,
+    tags: jnp.ndarray,
+    prev: jnp.ndarray,
+    counts: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Batched refine argmax; batch, joint, and person-chunk on the grid.
 
     Args:
       hm:   [B, K, HW] float32
       tags: [B, K, E, HW] float32
       prev: [B, P, E] float32
+      counts: optional [B] int32 — grouped person count per image; person
+        chunks past the count skip their scan (their outputs are zeros; the
+        refine caller never consumes argmaxes of ungrouped persons). None =
+        process all P.
 
     Returns:
       (idx [B, K, P] int32, val [B, K, P] float32)
@@ -114,22 +150,33 @@ def refine_argmax_batch(hm: jnp.ndarray, tags: jnp.ndarray, prev: jnp.ndarray, i
     rows = hw // LANES
     tr = _pick_row_tile(rows)
 
+    pc = min(PERSON_CHUNK, p)
+    n_chunks = -(-p // pc)
+    p_pad = n_chunks * pc
+    if p_pad != p:
+        prev = jnp.pad(prev, ((0, 0), (0, p_pad - p), (0, 0)))
+    if counts is None:
+        cnt = jnp.full((b, 1), p, jnp.int32)
+    else:
+        cnt = counts.astype(jnp.int32).reshape(b, 1)
+
     hm4 = hm.reshape(b, k, rows, LANES)
     tags5 = tags.reshape(b, k, e, rows, LANES)
-    kernel = functools.partial(_refine_kernel, P=p, E=e, HW=hw, TR=tr)
+    kernel = functools.partial(_refine_kernel, P=pc, E=e, HW=hw, TR=tr)
     idx = pl.pallas_call(
         kernel,
-        grid=(b, k),
+        grid=(b, k, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, rows, LANES), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, e, rows, LANES), lambda bi, ki: (bi, ki, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, e), lambda bi, ki: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bi, ki, ci: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rows, LANES), lambda bi, ki, ci: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, rows, LANES), lambda bi, ki, ci: (bi, ki, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc, e), lambda bi, ki, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, p), lambda bi, ki: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, 1, p), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, 1, pc), lambda bi, ki, ci: (bi, ki, 0, ci), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, 1, p_pad), jnp.int32),
         interpret=interpret,
-    )(hm4, tags5, prev)
-    idx = idx[:, :, 0, :]
+    )(cnt, hm4, tags5, prev)
+    idx = idx[:, :, 0, :p]
     # the heatmap value at the argmax: cheap XLA gather (the kernel used to
     # extract it in-VMEM, costing two extra passes per tile for a value the
     # refine caller re-gathers anyway)
