@@ -1,0 +1,109 @@
+"""Calibration study for the multi-person AP-parity fixture (round 4).
+
+Trains the full-depth C=8 HigherHRNet on the 2-persons-per-image learnable
+fixture (tests/test_ap_parity.py) and probes, at step checkpoints, whether
+(a) the heatmap peaks localize, (b) the AE tag head separates the two
+backdrop-tint clusters by more than tag_thr, and (c) the framework pipeline
+with flip TTA groups >=2 persons per image and what AP it scores. Output
+informs the step count pinned in the test.
+
+CPU-only (the test runs on CPU; also keeps the TPU free for benches).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=1").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax.numpy as jnp
+
+from tests.test_ap_parity import (
+    IN_SIZE,
+    K,
+    P_CAP,
+    _make_learnable_fixture,
+    _train_batch_and_views,
+)
+from tests.test_data import make_coco_fixture
+
+import human_pose_tpu.train.losses as losses_mod
+
+# the reference 1e-3 tag weight converges over hundreds of epochs of real
+# training; the 2-image overfit fixture needs the tag head to separate
+# within ~1-2k steps, so the test raises the weight (decode parity — the
+# thing under test — is independent of the training loss weighting)
+losses_mod.TAG_LOSS_WEIGHT = 0.01
+
+from human_pose_tpu.inference.models import InferenceKeypointsModel
+from human_pose_tpu.metrics.cocoeval import COCOKeypointsEval
+from human_pose_tpu.models import HigherHRNet
+from human_pose_tpu.train import TrainState, create_optimizer
+from human_pose_tpu.train.steps import keypoints_train_step
+
+
+def main(tmp: Path) -> None:
+    root = tmp / "coco"
+    gt = make_coco_fixture(root, n_images=2, size=96)
+    gt = _make_learnable_fixture(root, gt, size=96)
+    raws, batch = _train_batch_and_views(root, gt)
+
+    model = HigherHRNet(num_kpts=K, C=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"], train=False)
+    tx = create_optimizer("Adam", lr=3e-3)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+
+    def probe(state, step, t0):
+        trained = {"params": state.params, "batch_stats": state.batch_stats}
+        mine = InferenceKeypointsModel(
+            model, trained, det_thr=0.1, tag_thr=0.4, input_size=IN_SIZE,
+            max_num_people=P_CAP, use_flip=True,
+        )
+        dets, counts = [], []
+        for i, raw in enumerate(raws):
+            d = mine(raw).to_coco_detections(image_id=i)
+            counts.append(len(d))
+            dets += d
+        ap = COCOKeypointsEval(gt, dets).evaluate()[0]
+        print(json.dumps({
+            "step": step, "min": round(float(time.time() - t0) / 60, 1),
+            "persons_per_image": counts, "ap": round(float(ap), 3),
+        }), flush=True)
+
+    t0 = time.time()
+    checkpoints = [1000, 1500, 2200]
+    step = 0
+    for target in checkpoints:
+        while step < target:
+            state, metrics = keypoints_train_step(
+                state,
+                {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
+                 for k, v in batch.items()},
+                3e-3,
+            )
+            step += 1
+        print(json.dumps({"step": step, "loss": round(float(metrics["loss"]), 4),
+                          "push": round(float(metrics["push"]), 5),
+                          "pull": round(float(metrics["pull"]), 5)}), flush=True)
+        probe(state, step, t0)
+
+
+if __name__ == "__main__":
+    import tempfile
+
+    main(Path(tempfile.mkdtemp()))

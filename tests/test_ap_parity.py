@@ -37,48 +37,94 @@ K, P_CAP, IN_SIZE = 17, 10, 64
 
 
 def _make_learnable_fixture(root, gt, size: int = 96):
-    """Rewrite the generic fixture into a LEARNABLE detection task: one
-    person per image, the 17 keypoints REWRITTEN onto a jittered 5x4 grid
-    (so the per-joint color discs never occlude each other) and marked with
-    joint-specific color discs — the convnet learns color -> joint, so sharp
-    peaks emerge within ~1-2k steps and transfer between the train and eval
-    views — plus person-scale OKS area (the fixture's size/3 boxes make OKS
-    untenably strict at a 4-px heatmap stride)."""
+    """Rewrite the generic fixture into a LEARNABLE MULTI-PERSON detection
+    task: TWO persons per image (top/bottom bands), each marked with the same
+    joint-specific color discs (the convnet learns color -> joint) over a
+    person-specific backdrop tint (the AE tag head learns tint -> embedding,
+    so grouping must genuinely separate two tag clusters per image).
+
+    The layout and appearance are built for flip TTA (reference semantics:
+    /root/reference/src/keypoints/model.py:85-96 — flip the image, flip the
+    heatmaps back, permute channels by COCO_FLIP_INDEX, average). TTA is only
+    coherent if the MIRRORED appearance of joint k equals the appearance of
+    joint flip[k] (that is what the channel permute assumes — a mirrored left
+    wrist looks like a right wrist). So flip-pair joints (2p+1, 2p+2) share
+    one pair color and differ by a mirror-sensitive glyph (a white dot offset
+    left vs right of the disc center); self-paired joint 0 gets a symmetric
+    disc. Geometrically, pair joints sit at horizontally mirrored positions
+    (same y) and joint 0 on the centerline, so the flipped forward's
+    channel-permuted peaks land on the SAME pixels as the direct forward's
+    and TTA averaging reinforces rather than smears. Per-pair jitter keeps
+    the mirror symmetry exact. OKS area is person-scale (the fixture's size/3
+    boxes make OKS untenably strict at a 4-px heatmap stride)."""
     import json
 
     import cv2
 
     rng = np.random.RandomState(7)
-    colors = [
+    # 9 hues: one per flip PAIR (+1 for self-paired joint 0)
+    hues = [
         tuple(int(c) for c in cv2.cvtColor(
-            np.uint8([[[int(k * 180 / K), 255, 255]]]), cv2.COLOR_HSV2RGB
+            np.uint8([[[int(i * 180 / 9), 255, 255]]]), cv2.COLOR_HSV2RGB
         )[0, 0])
-        for k in range(K)
+        for i in range(9)
     ]
-    keep = {}
-    for a in gt["annotations"]:
-        keep.setdefault(a["image_id"], a)  # first annotation per image
-    gt["annotations"] = list(keep.values())
-    cell = size // 5
-    for a in gt["annotations"]:
-        a["area"] = float(size * size)
-        a["bbox"] = [0.0, 0.0, float(size), float(size)]
-        kp = []
-        for k in range(K):
-            cx = (k % 5) * cell + cell // 2
-            cy = (k // 5) * cell + cell // 2 + 4
-            kp += [
-                int(cx + rng.randint(-4, 5)),
-                int(cy + rng.randint(-4, 5)),
-                2,
-            ]
-        a["keypoints"] = kp
-        a["num_keypoints"] = K
+
+    def joint_color(k: int):
+        return hues[0] if k == 0 else hues[1 + (k - 1) // 2]
+
+    def dot_offset(k: int):
+        """Mirror-sensitive glyph: odd joints (left element of the pair)
+        carry the white dot left of center, even joints right; joint 0 none."""
+        if k == 0:
+            return None
+        return -2 if k % 2 == 1 else 2
+    tints = [(20, 50, 20), (50, 20, 50)]  # person-specific backdrop (RGB)
+    band = size // 2
+    annotations = []
+    ann_id = 1
     for im in gt["images"]:
-        img = (rng.rand(size, size, 3) * 40).astype(np.uint8)  # dim background
-        kp = np.asarray(keep[im["id"]]["keypoints"]).reshape(K, 3)
-        for k in range(K):
-            cv2.circle(img, (int(kp[k, 0]), int(kp[k, 1])), 6, colors[k], -1)
+        for p in range(2):
+            y0 = p * band
+            kp = np.zeros((K, 3), np.int64)
+            kp[0] = (size // 2 - 1, y0 + band - 5, 2)  # joint 0: centerline
+            for pair in range(8):  # flip pairs (2p+1, 2p+2)
+                row, col = divmod(pair, 2)
+                dx = (14, 32)[col] + rng.randint(-2, 3)
+                y = y0 + 6 + 12 * row + rng.randint(-1, 2)
+                kp[2 * pair + 1] = (size // 2 - dx, y, 2)
+                kp[2 * pair + 2] = (size - 1 - (size // 2 - dx), y, 2)
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": im["id"],
+                    "category_id": 1,
+                    "keypoints": [int(v) for v in kp.reshape(-1)],
+                    "num_keypoints": K,
+                    "iscrowd": 0,
+                    "area": float(size * size),
+                    "bbox": [0.0, float(y0), float(size), float(band)],
+                    "segmentation": [
+                        [0, y0, size, y0, size, y0 + band, 0, y0 + band]
+                    ],
+                }
+            )
+            ann_id += 1
+    gt["annotations"] = annotations
+    by_img = {}
+    for a in annotations:
+        by_img.setdefault(a["image_id"], []).append(a)
+    for im in gt["images"]:
+        img = (rng.rand(size, size, 3) * 25).astype(np.uint8)
+        for p, a in enumerate(by_img[im["id"]]):
+            img[p * band:(p + 1) * band] += np.uint8(tints[p])
+            kp = np.asarray(a["keypoints"]).reshape(K, 3)
+            for k in range(K):
+                cx, cy = int(kp[k, 0]), int(kp[k, 1])
+                cv2.circle(img, (cx, cy), 5, joint_color(k), -1)
+                off = dot_offset(k)
+                if off is not None:
+                    cv2.circle(img, (cx + off, cy), 2, (255, 255, 255), -1)
         cv2.imwrite(
             str(root / "images" / "val2017" / im["file_name"]),
             cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
@@ -212,17 +258,26 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     assert float(metrics["loss"]) < 1.0, f"overfit failed: {metrics}"
     trained = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # --- this framework's full pipeline -> AP
+    # --- this framework's full pipeline (flip TTA ON) -> AP
     mine = MyInferenceModel(
         model, trained, det_thr=0.1, tag_thr=1.0, input_size=IN_SIZE,
-        max_num_people=P_CAP,
+        max_num_people=P_CAP, use_flip=True,
     )
     my_dets = []
+    my_persons_per_image = []
     for i, raw in enumerate(raws):
-        my_dets += mine(raw).to_coco_detections(image_id=i)
+        dets = mine(raw).to_coco_detections(image_id=i)
+        my_persons_per_image.append(len(dets))
+        my_dets += dets
     ap_mine = COCOKeypointsEval(gt, my_dets).evaluate()[0]
 
-    # --- the reference's full pipeline on the SAME weights -> AP
+    # the decode must genuinely GROUP multiple tag clusters per image — a
+    # single-person (or merged) decode cannot pass this
+    assert all(n >= 2 for n in my_persons_per_image), (
+        f"grouping did not separate persons: {my_persons_per_image}"
+    )
+
+    # --- the reference's full pipeline on the SAME weights (flip TTA) -> AP
     install_reference_shims()
     import src.keypoints.model as km
     from src.keypoints.architectures.higher_hrnet import HigherHRNet as RefNet
@@ -235,7 +290,7 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     assert all("num_batches_tracked" in m for m in missing), missing
 
     ref_model = km.InferenceKeypointsModel(
-        net=net, det_thr=0.1, tag_thr=1.0, use_flip=False,
+        net=net, det_thr=0.1, tag_thr=1.0, use_flip=True,
         input_size=IN_SIZE, max_num_people=P_CAP, device="cpu", ckpt_path=None,
     )
     ref_dets = []
@@ -245,8 +300,9 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
 
     # trained peaks are sharp -> no tie-flip caveat; both pipelines must find
     # the memorized people and score near-identically. Tolerance: one OKS
-    # threshold-cell flip on this 2-person fixture is 0.05 AP; allow two
-    # (near-threshold OKS values can flip with BLAS summation order).
+    # threshold-cell flip on this 4-annotation fixture moves AP by ~0.025;
+    # allow a few (near-threshold OKS values can flip with BLAS summation
+    # order between torch and XLA).
     assert ap_mine > 0.55, f"our pipeline AP too low: {ap_mine:.3f}"
     assert abs(ap_mine - ap_ref) < 0.11, (
         f"AP diverged: ours {ap_mine:.3f} vs reference pipeline {ap_ref:.3f}"
