@@ -44,13 +44,15 @@ def _refine_kernel(cnt_ref, hm_ref, tags_ref, prev_ref, idx_ref, *, P, E, HW, TR
     rows = HW // LANES
     T = rows // TR
     ci = pl.program_id(2)
-    count = cnt_ref[0, 0]
+    # cnt is the WHOLE [B, 1] array in SMEM (Mosaic requires SMEM blocks to
+    # match the array dims); index this image's count by grid position
+    count = cnt_ref[pl.program_id(0), 0]
     prev = prev_ref[0]  # [P, E] (chunk slice)
     neg_inf = jnp.float32(-jnp.inf)
 
     @pl.when(ci * P >= count)
     def _skip():
-        idx_ref[0, 0, 0, :] = jnp.zeros((P,), jnp.int32)
+        idx_ref[0, 0, 0, 0, :] = jnp.zeros((P,), jnp.int32)
 
     @pl.when(ci * P < count)
     def _run():
@@ -98,7 +100,7 @@ def _refine_chunk(hm_ref, tags_ref, prev, idx_ref, *, P, E, HW, TR):
     lin = best_row * LANES + lane_iota
     m = jnp.max(best_diff, axis=1, keepdims=True)  # [P, 1]
     idx = jnp.min(jnp.where(best_diff == m, lin, HW), axis=1)  # [P]
-    idx_ref[0, 0, 0, :] = idx
+    idx_ref[0, 0, 0, 0, :] = idx
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -167,16 +169,18 @@ def refine_argmax_batch(
         kernel,
         grid=(b, k, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, ki, ci: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda bi, ki, ci: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rows, LANES), lambda bi, ki, ci: (bi, ki, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, e, rows, LANES), lambda bi, ki, ci: (bi, ki, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pc, e), lambda bi, ki, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, pc), lambda bi, ki, ci: (bi, ki, 0, ci), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, 1, p_pad), jnp.int32),
+        # chunk dim is its own (size-1-block) axis: Mosaic requires the LAST
+        # block dim to be 128-divisible or equal to the array dim
+        out_specs=pl.BlockSpec((1, 1, 1, 1, pc), lambda bi, ki, ci: (bi, ki, ci, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, n_chunks, 1, pc), jnp.int32),
         interpret=interpret,
     )(cnt, hm4, tags5, prev)
-    idx = idx[:, :, 0, :p]
+    idx = idx.reshape(b, k, p_pad)[:, :, :p]
     # the heatmap value at the argmax: cheap XLA gather (the kernel used to
     # extract it in-VMEM, costing two extra passes per tile for a value the
     # refine caller re-gathers anyway)

@@ -63,30 +63,54 @@ def main(tmp: Path) -> None:
 
     model = HigherHRNet(num_kpts=K, C=8)
     variables = model.init(jax.random.PRNGKey(0), batch["images"], train=False)
-    tx = create_optimizer("Adam", lr=3e-3)
+    tx = create_optimizer("Adam", lr=1.5e-3)
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx
     )
 
     def probe(state, step, t0):
         trained = {"params": state.params, "batch_stats": state.batch_stats}
-        mine = InferenceKeypointsModel(
-            model, trained, det_thr=0.1, tag_thr=0.4, input_size=IN_SIZE,
-            max_num_people=P_CAP, use_flip=True,
-        )
-        dets, counts = [], []
-        for i, raw in enumerate(raws):
-            d = mine(raw).to_coco_detections(image_id=i)
-            counts.append(len(d))
-            dets += d
-        ap = COCOKeypointsEval(gt, dets).evaluate()[0]
-        print(json.dumps({
-            "step": step, "min": round(float(time.time() - t0) / 60, 1),
-            "persons_per_image": counts, "ap": round(float(ap), 3),
-        }), flush=True)
+        # diagnostics: heatmap strength + tag stats AT GT joints (eval view)
+        out = model.apply(trained, batch["images"], train=False)
+        (hq, hh), tags = out
+        import numpy as np
+        jq = np.asarray(batch["joints"])  # [N, P, K, 3] quarter-res ints
+        diag = []
+        for i in range(jq.shape[0]):
+            hmq = np.asarray(hq[i])
+            tg = np.asarray(tags[i])
+            for pers in range(jq.shape[1]):
+                pts = jq[i, pers]
+                if pts[:, 2].sum() == 0:
+                    continue
+                ys = np.clip(pts[:, 1], 0, hmq.shape[0] - 1)
+                xs = np.clip(pts[:, 0], 0, hmq.shape[1] - 1)
+                hv = hmq[ys, xs, np.arange(jq.shape[2])]
+                tv = tg[ys, xs, np.arange(jq.shape[2])]
+                diag.append({"img": i, "p": pers,
+                             "hm@gt": round(float(hv.mean()), 3),
+                             "tag_mean": round(float(tv.mean()), 3),
+                             "tag_std": round(float(tv.std()), 3)})
+        print(json.dumps({"step": step, "diag": diag}), flush=True)
+        for use_flip, det_thr in ((True, 0.25), (False, 0.25)):
+            mine = InferenceKeypointsModel(
+                model, trained, det_thr=det_thr, tag_thr=0.4, input_size=IN_SIZE,
+                max_num_people=P_CAP, use_flip=use_flip,
+            )
+            dets, counts = [], []
+            for i, raw in enumerate(raws):
+                d = mine(raw).to_coco_detections(image_id=i)
+                counts.append(len(d))
+                dets += d
+            ap = COCOKeypointsEval(gt, dets).evaluate()[0]
+            print(json.dumps({
+                "step": step, "min": round(float(time.time() - t0) / 60, 1),
+                "flip": use_flip, "persons_per_image": counts,
+                "ap": round(float(ap), 3),
+            }), flush=True)
 
     t0 = time.time()
-    checkpoints = [1000, 1500, 2200]
+    checkpoints = [1500, 2200, 3000]
     step = 0
     for target in checkpoints:
         while step < target:
@@ -94,7 +118,7 @@ def main(tmp: Path) -> None:
                 state,
                 {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
                  for k, v in batch.items()},
-                3e-3,
+                1.5e-3,
             )
             step += 1
         print(json.dumps({"step": step, "loss": round(float(metrics["loss"]), 4),

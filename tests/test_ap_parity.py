@@ -75,10 +75,12 @@ def _make_learnable_fixture(root, gt, size: int = 96):
 
     def dot_offset(k: int):
         """Mirror-sensitive glyph: odd joints (left element of the pair)
-        carry the white dot left of center, even joints right; joint 0 none."""
+        carry the white dot left of center, even joints right; joint 0 none.
+        Sized to survive the 96 -> 64 eval resize (disc r7, dot r3, offset 3
+        -> disc r4.7, dot r2, offset 2 at input res)."""
         if k == 0:
             return None
-        return -2 if k % 2 == 1 else 2
+        return -3 if k % 2 == 1 else 3
     tints = [(20, 50, 20), (50, 20, 50)]  # person-specific backdrop (RGB)
     band = size // 2
     annotations = []
@@ -87,11 +89,13 @@ def _make_learnable_fixture(root, gt, size: int = 96):
         for p in range(2):
             y0 = p * band
             kp = np.zeros((K, 3), np.int64)
-            kp[0] = (size // 2 - 1, y0 + band - 5, 2)  # joint 0: centerline
+            # 3 rows x 3 mirror-column slots per band (r7 discs need >=14 px
+            # spacing); joint 0 takes the middle-row centerline slot
+            kp[0] = (size // 2 - 1, y0 + 8 + 16, 2)
             for pair in range(8):  # flip pairs (2p+1, 2p+2)
-                row, col = divmod(pair, 2)
-                dx = (14, 32)[col] + rng.randint(-2, 3)
-                y = y0 + 6 + 12 * row + rng.randint(-1, 2)
+                row, col = divmod(pair, 3)
+                dx = (14, 28, 42)[col] + rng.randint(-1, 2)
+                y = y0 + 8 + 16 * row + rng.randint(-1, 2)
                 kp[2 * pair + 1] = (size // 2 - dx, y, 2)
                 kp[2 * pair + 2] = (size - 1 - (size // 2 - dx), y, 2)
             annotations.append(
@@ -121,10 +125,10 @@ def _make_learnable_fixture(root, gt, size: int = 96):
             kp = np.asarray(a["keypoints"]).reshape(K, 3)
             for k in range(K):
                 cx, cy = int(kp[k, 0]), int(kp[k, 1])
-                cv2.circle(img, (cx, cy), 5, joint_color(k), -1)
+                cv2.circle(img, (cx, cy), 7, joint_color(k), -1)
                 off = dot_offset(k)
                 if off is not None:
-                    cv2.circle(img, (cx + off, cy), 2, (255, 255, 255), -1)
+                    cv2.circle(img, (cx + off, cy), 3, (255, 255, 255), -1)
         cv2.imwrite(
             str(root / "images" / "val2017" / im["file_name"]),
             cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
