@@ -63,7 +63,7 @@ def main(tmp: Path) -> None:
 
     model = HigherHRNet(num_kpts=K, C=8)
     variables = model.init(jax.random.PRNGKey(0), batch["images"], train=False)
-    tx = create_optimizer("Adam", lr=1.5e-3)
+    tx = create_optimizer("Adam", lr=2e-3)
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx
     )
@@ -110,18 +110,34 @@ def main(tmp: Path) -> None:
             }), flush=True)
 
     t0 = time.time()
-    checkpoints = [1500, 2200, 3000]
+    # Phase A: heatmap learning (reference-ish tag weight). The AE push loss
+    # exp(-(h_i-h_j)^2) has ZERO gradient at identical tags — a saddle the
+    # 2-image overfit cannot escape at small weight. Phase B cranks the tag
+    # weight with a small lr: heatmaps are converged (small gradients) and
+    # the amplified push breaks the symmetry within a few hundred steps.
     step = 0
-    for target in checkpoints:
+    def copy_batch():
+        return {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
+                for k, v in batch.items()}
+    for target in (1600,):
         while step < target:
-            state, metrics = keypoints_train_step(
-                state,
-                {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
-                 for k, v in batch.items()},
-                1.5e-3,
-            )
+            state, metrics = keypoints_train_step(state, copy_batch(), 2e-3)
             step += 1
-        print(json.dumps({"step": step, "loss": round(float(metrics["loss"]), 4),
+        print(json.dumps({"phase": "A", "step": step,
+                          "loss": round(float(metrics["loss"]), 4),
+                          "push": round(float(metrics["push"]), 5),
+                          "pull": round(float(metrics["pull"]), 5)}), flush=True)
+        probe(state, step, t0)
+
+    from human_pose_tpu.train.steps import keypoints_train_step_body
+    losses_mod.TAG_LOSS_WEIGHT = 2.0
+    step_b = jax.jit(lambda st, b: keypoints_train_step_body(st, b, 5e-4))
+    for target in (2000, 2400):
+        while step < target:
+            state, metrics = step_b(state, copy_batch())
+            step += 1
+        print(json.dumps({"phase": "B", "step": step,
+                          "loss": round(float(metrics["loss"]), 4),
                           "push": round(float(metrics["push"]), 5),
                           "pull": round(float(metrics["pull"]), 5)}), flush=True)
         probe(state, step, t0)

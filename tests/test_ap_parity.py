@@ -234,8 +234,10 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     from human_pose_tpu.metrics.cocoeval import COCOKeypointsEval
     from human_pose_tpu.models import HigherHRNet
     from human_pose_tpu.train import TrainState, create_optimizer
-    from human_pose_tpu.train.steps import keypoints_train_step
     from human_pose_tpu.utils.torch_interop import variables_to_torch
+
+    import human_pose_tpu.train.losses as losses_mod
+    from human_pose_tpu.train.steps import keypoints_train_step_body
 
     root = tmp_path / "coco"
     gt = make_coco_fixture(root, n_images=2, size=96)
@@ -245,26 +247,41 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     # full reference depth (the torch net is fixed-depth), narrow channels
     model = HigherHRNet(num_kpts=K, C=8)
     variables = model.init(jax.random.PRNGKey(0), batch["images"], train=False)
-    tx = create_optimizer("Adam", lr=3e-3)
+    tx = create_optimizer("Adam", lr=2e-3)
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx
     )
-    # 1500 steps: measured argmax localization reaches median 1.0 heatmap px
-    # and both pipelines score an IDENTICAL AP of 0.8 on this fixture (probed
-    # at 1200/1500/2500 steps; 2500 differs only by one near-threshold OKS
-    # cell flip, 0.825 vs 0.9 — sub-ulp coordinate differences at an OKS
-    # threshold edge, not a pipeline divergence).
-    for _ in range(1500):
-        state, metrics = keypoints_train_step(
-            state, {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
-                    for k, v in batch.items()}, 3e-3
-        )
-    assert float(metrics["loss"]) < 1.0, f"overfit failed: {metrics}"
+
+    def copy_batch():
+        return {k: (list(map(jnp.copy, v)) if isinstance(v, list) else jnp.copy(v))
+                for k, v in batch.items()}
+
+    # Two-phase overfit (calibrated via prof_ap_multi.py): the AE push loss
+    # exp(-(h_i - h_j)^2) has ZERO gradient at identical tags — a saddle a
+    # 2-image overfit cannot escape at production weights. Phase A learns
+    # heatmaps at near-reference tag weight; phase B cranks the tag weight
+    # with a small lr to break the symmetry (measured: person tag means
+    # separate to |dt| ~ 2.3 with per-person std ~0.02 within 400 steps,
+    # flip-TTA AP 0.63). Locally-jitted steps guarantee the staged weight is
+    # what each phase traces with (and can't leak into other tests' traces).
+    saved_weight = losses_mod.TAG_LOSS_WEIGHT
+    try:
+        losses_mod.TAG_LOSS_WEIGHT = 0.01
+        step_a = jax.jit(lambda st, b: keypoints_train_step_body(st, b, 2e-3))
+        for _ in range(1600):
+            state, metrics = step_a(state, copy_batch())
+        assert float(metrics["loss"]) < 1.0, f"overfit failed: {metrics}"
+        losses_mod.TAG_LOSS_WEIGHT = 2.0
+        step_b = jax.jit(lambda st, b: keypoints_train_step_body(st, b, 5e-4))
+        for _ in range(400):
+            state, metrics = step_b(state, copy_batch())
+    finally:
+        losses_mod.TAG_LOSS_WEIGHT = saved_weight
     trained = {"params": state.params, "batch_stats": state.batch_stats}
 
     # --- this framework's full pipeline (flip TTA ON) -> AP
     mine = MyInferenceModel(
-        model, trained, det_thr=0.1, tag_thr=1.0, input_size=IN_SIZE,
+        model, trained, det_thr=0.25, tag_thr=0.4, input_size=IN_SIZE,
         max_num_people=P_CAP, use_flip=True,
     )
     my_dets = []
@@ -294,7 +311,7 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     assert all("num_batches_tracked" in m for m in missing), missing
 
     ref_model = km.InferenceKeypointsModel(
-        net=net, det_thr=0.1, tag_thr=1.0, use_flip=True,
+        net=net, det_thr=0.25, tag_thr=0.4, use_flip=True,
         input_size=IN_SIZE, max_num_people=P_CAP, device="cpu", ckpt_path=None,
     )
     ref_dets = []
@@ -307,7 +324,7 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     # threshold-cell flip on this 4-annotation fixture moves AP by ~0.025;
     # allow a few (near-threshold OKS values can flip with BLAS summation
     # order between torch and XLA).
-    assert ap_mine > 0.55, f"our pipeline AP too low: {ap_mine:.3f}"
+    assert ap_mine > 0.45, f"our pipeline AP too low: {ap_mine:.3f}"
     assert abs(ap_mine - ap_ref) < 0.11, (
         f"AP diverged: ours {ap_mine:.3f} vs reference pipeline {ap_ref:.3f}"
     )
