@@ -76,9 +76,16 @@ OPTIMIZERS: dict[str, Callable[..., optax.GradientTransformation]] = {
 }
 
 
-def create_optimizer(name: str, lr: float, **params) -> optax.GradientTransformation:
+def create_optimizer(
+    name: str, lr: float, clip_norm: float | None = None, **params
+) -> optax.GradientTransformation:
     """Build a named optimizer with the lr exposed as an injectable
-    hyperparameter (``opt_state.hyperparams['learning_rate']``)."""
+    hyperparameter (``opt_state.hyperparams['learning_rate']``).
+
+    ``clip_norm``: optional global-gradient-norm clip applied before the
+    update (the torch ``clip_grad_norm_`` idiom; the reference doesn't clip,
+    so the default is off — useful for stabilizing runs near the lr edge,
+    e.g. ``--module.optimizer.params.clip_norm=1.0``)."""
     import inspect
 
     factory = OPTIMIZERS[name]
@@ -88,15 +95,33 @@ def create_optimizer(name: str, lr: float, **params) -> optax.GradientTransforma
         a for a in inspect.signature(factory).parameters if a != "learning_rate"
     )
     inject = optax.inject_hyperparams(factory, static_args=static)
-    return inject(learning_rate=lr, **params)
+    tx = inject(learning_rate=lr, **params)
+    if clip_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(float(clip_norm)), tx)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):
     """Functionally set the injected learning rate on an inject_hyperparams
-    state (jit-safe: lr may be a traced scalar)."""
-    hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = lr
-    return opt_state._replace(hyperparams=hp)
+    state (jit-safe: lr may be a traced scalar). Handles the plain state and
+    the optax.chain state produced by ``clip_norm`` (a tuple whose second
+    element carries the hyperparams)."""
+    if hasattr(opt_state, "hyperparams"):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return opt_state._replace(hyperparams=hp)
+    assert isinstance(opt_state, tuple), type(opt_state)
+    done = False
+    out = []
+    for s in opt_state:
+        if not done and hasattr(s, "hyperparams"):
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = lr
+            s = s._replace(hyperparams=hp)
+            done = True
+        out.append(s)
+    assert done, "no inject_hyperparams state found in optimizer chain"
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------

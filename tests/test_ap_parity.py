@@ -247,7 +247,10 @@ def test_trained_weights_ap_parity_across_pipelines(tmp_path):
     # full reference depth (the torch net is fixed-depth), narrow channels
     model = HigherHRNet(num_kpts=K, C=8)
     variables = model.init(jax.random.PRNGKey(0), batch["images"], train=False)
-    tx = create_optimizer("Adam", lr=2e-3)
+    # clip_norm: the 2-image overfit at lr 2e-3 sits near the stability edge
+    # (diverged on a contended host with a different oneDNN kernel choice);
+    # global-norm clipping removes the spike path without slowing learning
+    tx = create_optimizer("Adam", lr=2e-3, clip_norm=1.0)
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx
     )

@@ -308,3 +308,27 @@ def test_gradient_accumulation_keypoints_oracle():
         jax.tree_util.tree_leaves(state_acc.params), jax.tree_util.tree_leaves(params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_clip_norm_optimizer_and_lr_injection():
+    """create_optimizer(clip_norm=...) wraps the update in a global-norm clip
+    and set_learning_rate still finds the injected lr inside the chain."""
+    import jax.numpy as jnp
+    import optax
+
+    from human_pose_tpu.train.optim import create_optimizer, set_learning_rate
+
+    params = {"w": jnp.ones((3,))}
+    tx = create_optimizer("SGD", lr=1.0, clip_norm=0.5)
+    st = tx.init(params)
+    # a giant gradient gets clipped to global norm 0.5
+    grads = {"w": jnp.full((3,), 100.0)}
+    st = set_learning_rate(st, 1.0)
+    updates, st = tx.update(grads, st, params)
+    norm = float(jnp.sqrt(sum(jnp.sum(u ** 2) for u in jax.tree_util.tree_leaves(updates))))
+    assert abs(norm - 0.5) < 1e-5, norm
+    # lr injection scales the update
+    st2 = set_learning_rate(st, 0.1)
+    updates2, _ = tx.update(grads, st2, params)
+    norm2 = float(jnp.sqrt(sum(jnp.sum(u ** 2) for u in jax.tree_util.tree_leaves(updates2))))
+    assert abs(norm2 - 0.05) < 1e-6, norm2
