@@ -181,11 +181,12 @@ class InferenceConfig:
     # eval/inference shape-bucket size (keypoints AE models): 64 = exact
     # reference 64-multiple alignment, one jit compile per distinct shape;
     # larger values zero-pad into coarser buckets (decode masks the pad) —
-    # far fewer compiles, slightly approximate near image borders. "auto"
-    # picks the bucket-analysis optimum (scripts/bucket_analysis.py,
-    # docs/performance.md): 64 when the persistent compile cache is warm,
-    # 128 on a cold cache (compiles dominate a cold varied-shape eval)
-    pad_multiple: int | str = "auto"
+    # far fewer compiles, slightly approximate near image borders. "auto" is
+    # an OPT-IN shorthand for 128, the bucket-analysis optimum when compile
+    # time dominates a cold varied-shape eval (scripts/bucket_analysis.py,
+    # docs/performance.md). Default 64 preserves exact reference numerics
+    # and is environment-independent.
+    pad_multiple: int | str = 64
 
 
 @dataclass
@@ -257,23 +258,23 @@ class BaseConfig:
         return unstructure(self)
 
     def resolved_pad_multiple(self) -> int:
-        """Resolve ``inference.pad_multiple`` ("auto" -> the bucket-analysis
-        optimum: 64 when the persistent XLA compile cache is warm — the
-        varied-shape compiles are already paid — else 128, where fewer, fatter
-        buckets beat a cold compile storm; scripts/bucket_analysis.py)."""
+        """Resolve ``inference.pad_multiple``. "auto" is a deterministic
+        opt-in alias for 128 — the bucket-analysis optimum for cold
+        varied-shape evals (scripts/bucket_analysis.py) — so identical
+        configs always produce identical numerics regardless of compile-cache
+        state (round-4 advisor finding). The default (64) is exact reference
+        64-multiple alignment."""
         pm = self.inference.pad_multiple
         if isinstance(pm, str):
             if pm != "auto":
                 raise ValueError(
                     f"inference.pad_multiple must be an int or 'auto', got {pm!r}"
                 )
-            cache = self.setup.compilation_cache_dir
-            warm = bool(cache) and Path(cache).is_dir() and any(Path(cache).iterdir())
-            pm = 64 if warm else 128
+            pm = 128
             log.info(
-                f"inference.pad_multiple=auto -> {pm} (persistent compile cache "
-                f"{'warm' if warm else 'cold/absent'}; pass "
-                f"--inference.pad_multiple=64 for exact reference 64-alignment)"
+                "inference.pad_multiple=auto -> 128 (coarse zero-pad buckets; "
+                "pass --inference.pad_multiple=64 for exact reference "
+                "64-alignment)"
             )
         return int(pm)
 

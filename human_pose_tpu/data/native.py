@@ -24,12 +24,22 @@ _PKG_DIR = Path(__file__).resolve().parent
 _SRC_DIR = _PKG_DIR.parent.parent / "native"
 
 
+def _src_stamp() -> str:
+    src = _SRC_DIR / "hp_native.cpp"
+    st = src.stat()
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def _try_build() -> bool:
     """Best-effort in-tree build of hp_native into the package dir.
 
     Serialized across processes with an exclusive flock (xdist workers /
     DataLoader processes may import concurrently on a fresh checkout).
-    Returns True if a build product now exists.
+    A failure is recorded in ``native/.build.failed`` keyed on the source
+    mtime so subsequent processes skip the (up to 300 s) rebuild attempt
+    instead of each re-paying it behind the lock; editing the source (or
+    deleting the marker) re-enables the build. Returns True if a build
+    product now exists.
     """
     if os.environ.get("HP_NO_NATIVE_BUILD") == "1":
         return False
@@ -39,11 +49,22 @@ def _try_build() -> bool:
     import subprocess
 
     lock_path = _SRC_DIR / ".build.lock"
+    failed_marker = _SRC_DIR / ".build.failed"
     try:
+        stamp = _src_stamp()
+        if failed_marker.exists() and failed_marker.read_text().strip() == stamp:
+            _log.warning(
+                "hp_native build previously failed for this source "
+                "(native/.build.failed); skipping rebuild — delete the marker "
+                "or touch native/hp_native.cpp to retry"
+            )
+            return False
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)  # blocks while another proc builds
             if list(_PKG_DIR.glob("hp_native*.so")):
                 return True  # someone else just built it
+            if failed_marker.exists() and failed_marker.read_text().strip() == stamp:
+                return False  # another proc just failed on the same source
             _log.info("building native hp_native extension (one-time) ...")
             proc = subprocess.run(
                 [sys.executable, "setup.py", "build_ext", "--inplace", "-q"],
@@ -51,13 +72,16 @@ def _try_build() -> bool:
             )
             if proc.returncode != 0:
                 _log.warning("hp_native build failed:\n%s", proc.stderr[-2000:])
+                failed_marker.write_text(stamp)
                 return False
             built = sorted(_SRC_DIR.glob("hp_native*.so"))
             if not built:
+                failed_marker.write_text(stamp)
                 return False
             import shutil
 
             shutil.copy2(built[-1], _PKG_DIR / built[-1].name)
+            failed_marker.unlink(missing_ok=True)
             return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
         _log.warning("hp_native build errored: %s", e)

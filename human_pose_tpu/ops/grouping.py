@@ -283,20 +283,29 @@ def adjust(grouped_joints: jnp.ndarray, kpts_hms: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def refine_batch(kpts_hms, tags_hms, grouped_joints, counts=None):
+def refine_batch(kpts_hms, tags_hms, grouped_joints):
     """Batched refine (reference grouping.py:193-250, vectorized).
 
-    kpts_hms [B, K, H, W], tags_hms [B, K, H, W, E], grouped [B, P, K, 3+E],
-    counts optional [B] int32 grouped-person counts (lets the kernel skip
-    person chunks past each image's count — ungrouped persons' argmaxes are
-    never consumed).
+    kpts_hms [B, K, H, W], tags_hms [B, K, H, W, E], grouped [B, P, K, 3+E].
     On TPU the per-person distance-surface argmax runs as a Pallas kernel
-    (one HBM read of the maps total); elsewhere a vmapped XLA formulation."""
+    (one HBM read of the maps total); elsewhere a vmapped XLA formulation.
+    The kernel's person-chunk skip bound is derived HERE from the joints
+    themselves — index of the last person with any detected joint, +1 — so
+    it is safe regardless of whether valid persons occupy a contiguous slot
+    prefix (round-4 advisor finding: a caller-supplied ``valid.sum`` count
+    silently corrupts outputs for non-prefix validity)."""
     b, p_cap, k, _ = grouped_joints.shape
     h, w = kpts_hms.shape[2:]
 
     score = grouped_joints[..., 2]  # [B, P, K]
     det = score > 0.0
+    # refine only ever replaces joints of persons with >=1 detection
+    # (replace mask below requires det.sum > 0), so person chunks past the
+    # last detected person can be skipped no matter how slots are laid out
+    has_det = det.any(axis=2)  # [B, P]
+    counts = (
+        jnp.max(jnp.where(has_det, jnp.arange(p_cap)[None, :], -1), axis=1) + 1
+    ).astype(jnp.int32)  # [B]
     xi = jnp.clip(grouped_joints[..., 0].astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(grouped_joints[..., 1].astype(jnp.int32), 0, h - 1)
     bb = jnp.arange(b)[:, None, None]
@@ -540,8 +549,7 @@ def parse_batch(
         grouped = jax.vmap(adjust)(grouped, kpts_hms)
     person_scores = grouped[..., 2].mean(axis=2)
     if do_refine:
-        grouped = refine_batch(kpts_hms, tags_hms, grouped,
-                               counts=valid.sum(axis=1).astype(jnp.int32))
+        grouped = refine_batch(kpts_hms, tags_hms, grouped)
     return grouped, person_scores, valid
 
 

@@ -137,10 +137,14 @@ def refine_argmax_batch(
       hm:   [B, K, HW] float32
       tags: [B, K, E, HW] float32
       prev: [B, P, E] float32
-      counts: optional [B] int32 — grouped person count per image; person
-        chunks past the count skip their scan (their outputs are zeros; the
-        refine caller never consumes argmaxes of ungrouped persons). None =
-        process all P.
+      counts: optional [B] int32 — per-image skip bound on the person axis:
+        chunks whose FIRST person index is >= counts[b] skip their scan and
+        emit idx=0 for every person in the chunk. CONTRACT: callers must not
+        consume the argmax of any person slot >= counts[b] (skipped slots
+        get idx=0 / val=hm[...,0], which is garbage for a real person).
+        ``refine_batch`` satisfies this by deriving counts as
+        (last person slot with any detected joint)+1, which is safe for any
+        slot layout. None = process all P.
 
     Returns:
       (idx [B, K, P] int32, val [B, K, P] float32)

@@ -27,16 +27,16 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parents[2]))
 
 import jax.numpy as jnp
 
-from tests.test_ap_parity import (
+from tests.ap_fixture import (
     IN_SIZE,
     K,
     P_CAP,
-    _make_learnable_fixture,
-    _train_batch_and_views,
+    make_learnable_fixture as _make_learnable_fixture,
+    train_batch_and_views as _train_batch_and_views,
 )
 from tests.test_data import make_coco_fixture
 

@@ -179,22 +179,24 @@ def test_compilation_cache_dir_wiring(tmp_path):
 
 
 def test_pad_multiple_auto_resolution(tmp_path):
-    """inference.pad_multiple='auto' picks 128 on a cold/absent compile cache
-    and 64 once the cache has entries (docs/performance.md optimum); explicit
-    ints pass through; junk strings are rejected."""
+    """Default is exact 64 (reference parity, environment-independent);
+    'auto' is a deterministic opt-in alias for 128 regardless of compile
+    cache state; explicit ints pass through; junk strings are rejected."""
     cfg = KeypointsConfig.from_dict({"setup": {"experiment_name": "t"}})
-    assert cfg.inference.pad_multiple == "auto"
-    assert cfg.resolved_pad_multiple() == 128  # no cache configured -> cold
+    assert cfg.inference.pad_multiple == 64
+    assert cfg.resolved_pad_multiple() == 64
 
     cache = tmp_path / "xla_cache"
     cache.mkdir()
-    cfg = KeypointsConfig.from_dict(
-        {"setup": {"experiment_name": "t", "compilation_cache_dir": str(cache)}}
-    )
+    (cache / "entry").write_bytes(b"x")
     try:
-        assert cfg.resolved_pad_multiple() == 128  # empty dir is still cold
-        (cache / "entry").write_bytes(b"x")
-        assert cfg.resolved_pad_multiple() == 64  # warm
+        # "auto" -> 128 deterministically, even with a warm cache configured
+        cfg = KeypointsConfig.from_dict(
+            {"setup": {"experiment_name": "t",
+                       "compilation_cache_dir": str(cache)},
+             "inference": {"pad_multiple": "auto"}}
+        )
+        assert cfg.resolved_pad_multiple() == 128
 
         cfg = KeypointsConfig.from_dict(
             {"setup": {"experiment_name": "t"},

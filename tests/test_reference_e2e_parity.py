@@ -21,6 +21,7 @@ NOTE compile cost: this test jit-compiles the full-depth W32 forward on the
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -145,10 +146,14 @@ def test_inference_pipeline_end_to_end_parity(ref_model_mod, use_flip):
     # contended 2-worker xdist runs, the same commits passing at ~8%
     # standalone).
     # The tight guarantees are the 2e-4 heatmap parity above plus
-    # solver-identical decode in test_reference_decode_parity.py; this bound
-    # only has to catch gross/systematic divergence.
+    # solver-identical decode in test_reference_decode_parity.py. Per the
+    # round-4 advisor: assert the TIGHT floor when running standalone (a
+    # systematic ~20% divergence must not hide behind the contention
+    # allowance); relax only under xdist, where the contention flake is the
+    # measured reality.
     agree = np.all(np.abs(my_coords - ref_coords) < 0.5, axis=-1)
-    floor = 0.7 if use_flip else 0.9
+    under_xdist = "PYTEST_XDIST_WORKER" in os.environ
+    floor = (0.7 if under_xdist else 0.8) if use_flip else 0.9
     assert agree.mean() > floor, f"only {agree.mean():.1%} of joints agree"
     # person scores are per-person means over the tie-flippable per-joint
     # values, so the same <=10% tie-flip budget applies: each flipped joint
