@@ -73,6 +73,17 @@ def main() -> None:
 
     def infer(variables, images):
         stages_hms, tags = model.apply(variables, images, train=False)
+        # Thresholds = the reference's PUBLISHED-EVAL operating point. Its
+        # eval CLI builds the inference model through
+        # config.create_inference_model (src/keypoints/config.py:135-136),
+        # which reads det_thr=0.05 / tag_thr=0.5 from the experiment yaml
+        # (experiments/keypoints/higher_hrnet_32.yaml:82-83) with the default
+        # max_num_people=30 (model.py:60). NOTE the reference also contains
+        # det_thr=0.1 / tag_thr=1.0 / max 20 at module.py:107-108 — that is
+        # the TRAIN-TIME validation-plotting default, not the eval path; 0.05
+        # admits more candidate rows into the grouping kernel, so the number
+        # below is the conservative (slower) of the two operating points.
+        # A/B at 0.1/1.0 is recorded in docs/performance.md.
         joints, scores, valid = decode_batch(
             stages_hms, [tags], input_hw=(SIZE, SIZE),
             max_num_people=30, det_thr=0.05, tag_thr=0.5,
