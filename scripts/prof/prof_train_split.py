@@ -90,22 +90,30 @@ def main() -> None:
         }
 
     def timed(fn, init):
+        # each fn returns a SCALAR depending on every iteration; the only
+        # honest sync through the axon tunnel is a host fetch of that value
+        # (block_until_ready can return before execution — CLAUDE.md)
         jfn = jax.jit(fn)
-        out = jfn(init)
-        jax.block_until_ready(out)
+        v = float(jfn(init))
+        assert v == v
         t0 = time.perf_counter()
-        out = jfn(init)
-        jax.block_until_ready(out)
+        v = float(jfn(init))
         dt = time.perf_counter() - t0
         return dt / iters
 
-    # full step
+    def tree_scalar(t):
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in
+                   jax.tree_util.tree_leaves(t))
+
+    # full step (scalar depends on the FINAL params, so no iteration's
+    # update can be dead-code-eliminated)
     def run_full(state):
         def body(i, carry):
             st, _ = carry
             st, m = keypoints_train_step_body(st, synth_batch(i), 1e-3)
             return st, m["loss"]
-        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        st, loss = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        return loss + 1e-30 * tree_scalar(st.params)
 
     # fwd+loss only (same helpers as the real step; loss threads through so
     # nothing is dead-code-eliminated)
@@ -123,7 +131,7 @@ def main() -> None:
             grads, _, metrics = _keypoints_grads(state, synth_batch(i))
             gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in
                        jax.tree_util.tree_leaves(grads))
-            return acc + metrics["loss"] + 0.0 * gsum
+            return acc + metrics["loss"] + 1e-30 * gsum
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     # optimizer update only, fixed unit grads
@@ -133,7 +141,8 @@ def main() -> None:
         def body(i, st):
             params, opt_state = _update(st, unit_grads, 1e-3)
             return st.replace(params=params, opt_state=opt_state)
-        return jax.lax.fori_loop(0, iters, body, state)
+        st = jax.lax.fori_loop(0, iters, body, state)
+        return tree_scalar(st.params)
 
     t_full = timed(run_full, state)
     t_fwd = timed(run_fwdloss, state)
